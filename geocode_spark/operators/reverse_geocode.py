@@ -1,0 +1,278 @@
+"""Distributed reverse geocode: (lat, lon) points -> region assignments.
+
+Re-expresses the reference's computational core
+``utilities.reverse_geocode`` (/root/reference/geocode/utilities.py:238-289):
+
+  1. points reprojected into the regions' space     -> prep normalizes
+     regions to WGS84 instead (regions.py), same assignments
+  2. R-tree candidate lookup + exact ``contains``   -> covering-cell equi-join
+     (broadcast) + ray-cast PIP in Arrow batches; *interior* cells skip the
+     exact test (raster/vector shortcut)
+  3. boundary-tie dedup keep-first                  -> min(region_seq) per row
+     (region_seq = stable region input order, GeoPandas keep-first parity)
+  4. bounded nearest for misses (sjoin_nearest)     -> k-ring expansion over
+     neighbour cells + exact point-to-polygon distance, take argmin
+  5. NA -> None normalization                       -> SQL NULL natively
+
+Two physical strategies, both shuffle-free on the candidate side:
+
+* ``fused`` (default): one ``mapInPandas`` pass per partition — cell encode,
+  candidate probe against the broadcast cover map, ray-cast, dedup, and kNN
+  fallback all inside a single Arrow batch. Zero shuffles; the plan is
+  scan -> mapInPandas -> (sink). Skew-proof: no shuffle keys exist.
+* ``join``: Catalyst-visible BroadcastHashJoin of points vs the covering-cell
+  map, then mapInPandas PIP on candidates, then one aggregation shuffle per
+  row_id. Useful when the candidate set should be materialized / audited.
+
+At 100 TB the fused path streams straight off the scan with per-partition
+Python workers doing vectorized numpy; nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType)
+
+from ..cells import cell_of, cell_to_ij, cell_from_ij
+from ..geometry import dist_to_polygon, points_in_polygon
+from ..regions import PreparedRegions
+
+
+def _candidate_probe(pdf: pd.DataFrame, cover: pd.DataFrame, res: int,
+                     lat_col: str, lon_col: str) -> pd.DataFrame:
+    """Cell-encode points and inner-join vs the cover map (pandas-side
+    broadcast hash join). Returns candidate rows with a __pos pointer back
+    into pdf."""
+    lat = pdf[lat_col].to_numpy(dtype=np.float64)
+    lon = pdf[lon_col].to_numpy(dtype=np.float64)
+    cells = cell_of(lat, lon, res)
+    probe = pd.DataFrame({
+        "__pos": np.arange(len(pdf), dtype=np.int64),
+        "cell": cells,
+        "__x": lon,
+        "__y": lat,
+    })
+    return probe.merge(cover, on="cell", how="inner")
+
+
+def _resolve_pip(cand: pd.DataFrame, geoms: dict) -> pd.DataFrame:
+    """Exact PIP for boundary-cell candidates; interior cells pass through.
+    Returns rows (__pos, region_id, region_seq) that are truly inside."""
+    if cand.empty:
+        return cand[["__pos", "region_id", "region_seq"]]
+    inside = cand["interior"].to_numpy(dtype=bool).copy()
+    boundary = ~inside
+    if boundary.any():
+        bnd = cand[boundary]
+        ok = np.zeros(len(bnd), dtype=bool)
+        # vectorize per region: one ray-cast batch per polygon
+        for rid, grp in bnd.groupby("region_id", sort=False):
+            xs, ys, offs, bbox = geoms[rid]
+            px = grp["__x"].to_numpy()
+            py = grp["__y"].to_numpy()
+            in_bbox = ((px >= bbox[0]) & (px <= bbox[2])
+                       & (py >= bbox[1]) & (py <= bbox[3]))
+            m = np.zeros(len(grp), dtype=bool)
+            if in_bbox.any():
+                m[in_bbox] = points_in_polygon(px[in_bbox], py[in_bbox], xs, ys, offs)
+            ok[bnd.index.get_indexer(grp.index)] = m
+        inside[boundary] = ok
+    hit = cand[inside]
+    # keep-first parity: GeoPandas keeps the first region in input order
+    hit = hit.sort_values("region_seq", kind="stable").drop_duplicates(
+        "__pos", keep="first")
+    return hit[["__pos", "region_id", "region_seq"]]
+
+
+def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
+                  prep: PreparedRegions, max_distance: float,
+                  max_k: int = 8) -> pd.DataFrame:
+    """Ring-expansion bounded nearest-region (sjoin_nearest semantics,
+    utilities.py:270-284). Distance unit = degrees (prep space)."""
+    cover = prep.cover
+    res = prep.res
+    n = np.int64(1) << res
+    out_rid = np.full(len(miss_pos), None, dtype=object)
+    out_dist = np.full(len(miss_pos), np.inf)
+    res_arr, ci, cj = cell_to_ij(cell_of(py, px, res))
+    unresolved = np.arange(len(miss_pos))
+    # cell size in degrees (lat step is half the lon step on this grid)
+    cell_deg = 360.0 / float(n)
+    cover_cells = cover["cell"].to_numpy()
+    for k in range(1, max_k + 1):
+        if len(unresolved) == 0:
+            break
+        # gather candidate regions from the (2k+1)^2 disc for unresolved pts
+        di = np.arange(-k, k + 1)
+        rows = []
+        for u in unresolved:
+            ii = (ci[u] + di) % n
+            jj = np.clip(cj[u] + di, 0, n - 1)
+            gi, gj = np.meshgrid(ii, jj)
+            ring_cells = cell_from_ij(gi.ravel(), gj.ravel(), res)
+            m = cover[np.isin(cover_cells, ring_cells)]
+            if m.empty:
+                continue
+            for rid in m["region_id"].unique():
+                rows.append((u, rid))
+        if rows:
+            cand = pd.DataFrame(rows, columns=["u", "region_id"])
+            for rid, grp in cand.groupby("region_id", sort=False):
+                xs, ys, offs, _ = prep.geoms[rid]
+                uu = grp["u"].to_numpy()
+                d = dist_to_polygon(px[uu], py[uu], xs, ys, offs)
+                better = d < out_dist[uu]
+                upd = uu[better]
+                out_dist[upd] = d[better]
+                out_rid[upd] = rid
+        # a point is resolved once its best distance is provably within the
+        # already-searched ring radius (no closer region can appear later)
+        safe_radius = (k - 0.5) * cell_deg * 0.5
+        done = (out_dist[unresolved] <= min(max_distance, safe_radius))
+        unresolved = unresolved[~done]
+    # final bound check
+    valid = out_dist <= max_distance
+    return pd.DataFrame({
+        "__pos": miss_pos[valid],
+        "region_id": out_rid[valid],
+        "dist": out_dist[valid],
+    })
+
+
+def reverse_geocode(
+    points: DataFrame,
+    prep: PreparedRegions,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    out_col: str = "region_id",
+    max_distance: float | None = None,
+    strategy: str = "fused",
+    keep_cell: bool = False,
+) -> DataFrame:
+    """Assign each point row the containing region's id (NULL if none).
+
+    All input columns pass through; adds ``out_col`` (and ``cell_id`` when
+    ``keep_cell``). Equivalent of utilities.reverse_geocode + the dataset
+    adapters' rename (ons_nrs.py:384, neso.py:298, eurostat.py:151).
+    """
+    spark = points.sparkSession
+    sc = spark.sparkContext
+    b_cover = sc.broadcast(prep.cover)
+    b_geoms = sc.broadcast(prep.geoms)
+    res = prep.res
+
+    if strategy == "fused":
+        out_fields = points.schema.fields + [StructField(out_col, StringType())]
+        if keep_cell:
+            out_fields = out_fields + [StructField("cell_id", LongType())]
+        out_schema = StructType(out_fields)
+        in_cols = [f.name for f in points.schema.fields]
+
+        meta = (prep.name, prep.res, prep.crs)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cover = b_cover.value
+            geoms = b_geoms.value
+            prep_local = PreparedRegions(name=meta[0], res=meta[1], crs=meta[2],
+                                         geoms=geoms, cover=cover)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cand = _candidate_probe(pdf, cover, res, lat_col, lon_col)
+                hit = _resolve_pip(cand, geoms)
+                rid = np.full(len(pdf), None, dtype=object)
+                rid[hit["__pos"].to_numpy()] = hit["region_id"].to_numpy()
+                if max_distance is not None:
+                    miss = np.flatnonzero(pd.isna(rid))
+                    if len(miss):
+                        px = pdf[lon_col].to_numpy(np.float64)[miss]
+                        py = pdf[lat_col].to_numpy(np.float64)[miss]
+                        near = _knn_fallback(miss, px, py, prep_local,
+                                             max_distance)
+                        rid[near["__pos"].to_numpy()] = near["region_id"].to_numpy()
+                out = pdf[in_cols].copy()
+                out[out_col] = rid
+                if keep_cell:
+                    out["cell_id"] = cell_of(
+                        pdf[lat_col].to_numpy(np.float64),
+                        pdf[lon_col].to_numpy(np.float64), res)
+                yield out
+
+        return points.mapInPandas(run, schema=out_schema)
+
+    if strategy == "join":
+        return _reverse_geocode_join(points, prep, lat_col, lon_col, out_col,
+                                     keep_cell)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
+    """Catalyst-visible variant: BroadcastHashJoin on cell, PIP on candidates,
+    min(region_seq) aggregation per input row."""
+    spark = points.sparkSession
+    sc = spark.sparkContext
+    b_geoms = sc.broadcast(prep.geoms)
+    res = prep.res
+
+    @F.pandas_udf(LongType())
+    def cell_udf(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(cell_of(lat.to_numpy(np.float64),
+                                 lon.to_numpy(np.float64), res))
+
+    cover_df = spark.createDataFrame(prep.cover)
+    pts = points.withColumn("__rg_row", F.monotonically_increasing_id())
+    pts = pts.withColumn("cell_id", cell_udf(F.col(lat_col), F.col(lon_col)))
+    cand = pts.join(F.broadcast(cover_df),
+                    pts["cell_id"] == cover_df["cell"], "left")
+
+    pip_schema = StructType([
+        StructField("__rg_row", LongType()),
+        StructField("region_id", StringType()),
+        StructField("region_seq", LongType()),
+    ])
+
+    def pip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        geoms = b_geoms.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            has_cand = pdf["region_id"].notna()
+            sub = pdf[has_cand]
+            keep = np.zeros(len(sub), dtype=bool)
+            interior = np.where(sub["interior"].isna(), False,
+                                sub["interior"]).astype(bool)
+            keep |= interior
+            bnd = ~interior
+            if bnd.any():
+                b = sub[bnd]
+                okk = np.zeros(len(b), dtype=bool)
+                for rid, grp in b.groupby("region_id", sort=False):
+                    xs, ys, offs, bbox = geoms[rid]
+                    px = grp[lon_col].to_numpy(np.float64)
+                    py = grp[lat_col].to_numpy(np.float64)
+                    okk[b.index.get_indexer(grp.index)] = points_in_polygon(
+                        px, py, xs, ys, offs)
+                keep[bnd] = okk
+            inside = sub[keep]
+            yield pd.DataFrame({
+                "__rg_row": inside["__rg_row"].astype(np.int64),
+                "region_id": inside["region_id"],
+                "region_seq": inside["region_seq"].astype(np.int64),
+            })
+
+    assignments = (
+        cand.select("__rg_row", lat_col, lon_col, "region_id", "region_seq",
+                    "interior")
+        .mapInPandas(pip, schema=pip_schema)
+        .groupBy("__rg_row")
+        .agg(F.min_by("region_id", "region_seq").alias(out_col))
+    )
+    out = pts.join(assignments, "__rg_row", "left")
+    drop = ["__rg_row"] if keep_cell else ["__rg_row", "cell_id"]
+    return out.drop(*drop)

@@ -1,0 +1,242 @@
+"""Deterministic synthetic fixtures mirroring the reference's mocked test
+setup (/root/reference/Tests/test_geocode.py:46-158) plus a Common-Crawl-style
+``pages`` table per BASELINE.json ``input_hint``.
+
+Everything is seed-fixed and synthesized from the golden values already
+published in the reference's test suite — no external data. ``build_all``
+writes parquet under a base dir (committed at /root/repo/fixtures) so the
+DuckDB oracle queries can ``read_parquet`` the same tables the Spark engine
+uses.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+from ..crs import latlon_to_bng
+from ..regions import prepare_regions, save_prepared
+
+FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures"
+
+
+def _square(x0, y0, x1, y1):
+    return [[(x0, y0), (x1, y0), (x1, y1), (x0, y1)]]
+
+
+# --- region polygon fixtures (Tests/test_geocode.py:50-150) -------------------
+
+LLSOA_RECORDS = [
+    {"region_id": "E01012082", "rings": _square(-1.2, 54.5, -1.19, 54.55)},
+    {"region_id": "E01011214", "rings": _square(-1.71, 53.66, -1.69, 53.67)},
+    {"region_id": "E01002050", "rings": _square(-0.07, 51.57, -0.06, 51.58)},
+    {"region_id": "W01000323", "rings": _square(-3.14, 53.20, -3.12, 53.21)},
+    {"region_id": "S01008087", "rings": _square(-4.23, 55.91, -4.21, 55.93)},
+]
+
+GSP_RECORDS = [
+    {"region_id": "BRED_1", "GSPs": "BRED_1", "GSPGroup": "_G",
+     "rings": _square(-2.1, 53.3, -2.0, 53.4)},
+    {"region_id": "DEWP", "GSPs": "DEWP", "GSPGroup": "_N",
+     "rings": _square(-3.2, 55.9, -3.1, 56.0)},
+]
+
+# nested squares so golden latlons map to the right NUTS code at each level
+# (Tests/test_geocode.py:204-217): point -> UK/UKK/UKK1/UKK15 etc.
+_NUTS_POINTS = {
+    "UK": (51.3259, -1.9613), "FR": (47.9995, 0.2335), "DE": (50.8356, 8.7343),
+}
+_NUTS_CODES = {
+    "UK": ["UK", "UKK", "UKK1", "UKK15"],
+    "FR": ["FR", "FRG", "FRG0", "FRG04"],
+    "DE": ["DE", "DE7", "DE72", "DE724"],
+}
+
+
+def nuts_records(level: int) -> list[dict]:
+    recs = []
+    for country, (lat, lon) in _NUTS_POINTS.items():
+        code = _NUTS_CODES[country][level]
+        half = 2.0 / (level + 1)  # shrinking nested squares
+        recs.append({
+            "region_id": code, "LEVL_CODE": level,
+            "rings": _square(lon - half, lat - half, lon + half, lat + half),
+        })
+    return recs
+
+
+# --- postcode dimension (CPO-shaped, cpo.py:60-110 schema) --------------------
+
+GOLDEN_POSTCODES = {
+    # postcode -> golden (lat, lon) from Tests/test_geocode.py:255-260
+    "RG1 3PE": (51.45511, -0.94070),
+    "S10 2FR": (53.37708, -1.48700),
+    "FY2 0RD": (53.83989, -3.04328),
+}
+
+
+def build_cpo() -> pd.DataFrame:
+    """CPO-shaped table. E/N derived by inverse-transforming golden lat/lons
+    with our own latlon_to_bng, so the pipeline's forward transform
+    reproduces the golden values to well under 4 dp (roundtrip < 1e-7 deg).
+
+    Adds multi-unit postcodes sharing a code (exercises the nanmean agg,
+    cpo.py:162-172) and extra units per outward for the partial-postcode
+    prefix fallback (cpo.py:217-228).
+    """
+    rng = np.random.default_rng(42)
+    rows = []
+    for pc, (lat, lon) in GOLDEN_POSTCODES.items():
+        e, n = latlon_to_bng(np.array([lat]), np.array([lon]))
+        rows.append((pc.replace(" ", "").upper(), 10, int(round(e[0])), int(round(n[0]))))
+    # synthetic neighbourhoods: 40 postcodes per outward across 5 outwards
+    outwards = ["AB1", "CD2", "EF3", "GH4", "ZZ9"]
+    base = {"AB1": (57.14, -2.10), "CD2": (52.20, 0.12), "EF3": (55.95, -3.19),
+            "GH4": (53.48, -2.24), "ZZ9": (51.50, -0.12)}
+    letters = "ABDEFGHJLNPQRSTUWXYZ"
+    for ow in outwards:
+        lat0, lon0 = base[ow]
+        for i in range(40):
+            inward = f"{i % 10}{letters[i % 20]}{letters[(i * 7) % 20]}"
+            dlat = (rng.random() - 0.5) * 0.02
+            dlon = (rng.random() - 0.5) * 0.02
+            e, n = latlon_to_bng(np.array([lat0 + dlat]), np.array([lon0 + dlon]))
+            rows.append((f"{ow}{inward}", 10, int(round(e[0])), int(round(n[0]))))
+    # duplicate-unit postcode: same code twice with different E/N (nanmean case)
+    e1, n1 = latlon_to_bng(np.array([54.0]), np.array([-1.5]))
+    e2, n2 = latlon_to_bng(np.array([54.001]), np.array([-1.501]))
+    rows.append(("DUP1AA", 10, int(round(e1[0])), int(round(n1[0]))))
+    rows.append(("DUP1AA", 10, int(round(e2[0])), int(round(n2[0]))))
+    # zero-coordinate row (dropped by P1) and a high-PQI row
+    rows.append(("XX00XX", 10, 0, 0))
+    rows.append(("NP99ZZ", 90, 355000, 180000))
+    df = pd.DataFrame(rows, columns=["Postcode", "Positional_quality_indicator",
+                                     "Eastings", "Northings"])
+    return df
+
+
+# --- centroid lookups (golden values, Tests/test_geocode.py:160-249) ----------
+
+LLSOA_CENTROIDS = [
+    ("E01012082", 54.5477949315505, -1.19562636315068),
+    ("E01011214", 53.6669451917253, -1.70300404181518),
+    ("E01002050", 51.5787798943552, -0.06847625193368),
+    ("W01000323", 53.2072680650806, -3.13215047150594),
+    ("S00101253", 55.9449262044360, -4.33345100983174),
+    ("S01008087", 55.9183658877035, -4.21934323024909),
+    ("S01020873", 55.9341580155129, -3.46004249282003),
+]
+
+CONSTITUENCY_CENTROIDS = [
+    ("E14000882", "Poplar and Limehouse", -0.015729999, 51.507938),
+    ("E14000575", "Blyth Valley", -1.56095, 55.092758),
+    ("E14000530", "Aldershot", -0.7841, 51.288952),
+]
+
+LAD_CENTROIDS = [
+    ("E06000035", "Medway", 0.56317401, 51.44772),
+    ("E07000027", "Barrow-in-Furness", -3.1998999, 54.15731),
+    ("N09000005", "Derry City and Strabane", -7.42064, 54.80904),
+]
+
+DATAZONE_LOOKUP = [
+    # llsoa (OA) code -> datazone (ons_nrs.py:279-291; relabel ons_nrs.py:387-394)
+    ("S01008087", "S01008087"),
+    ("S00101253", "S01008087"),
+]
+
+GSP_LOOKUP = [
+    # region_id, GSPs, gnode, dno (neso.py:61-95; >=1 region with 2 gnodes, J8)
+    ("BRED_1", "BRED_1", "BRED1", "14"),
+    ("BRED_1", "BRED_1", "BRED2", "14"),
+    ("DEWP", "DEWP", "DEWP1", "18"),
+]
+
+
+# --- pages fact table (BASELINE.json input_hint) ------------------------------
+
+def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
+    """Common-Crawl-style pages with deterministic UK postcodes and lat/lon
+    mentions embedded in ``text``. Byte-identical text per url (invariant)."""
+    rng = np.random.default_rng(seed)
+    cpo = build_cpo()
+    pcs = cpo[cpo["Eastings"] > 0]["Postcode"].unique()
+    fill = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do "
+            "eiusmod tempor incididunt ut labore et dolore magna aliqua").split()
+    rows = []
+    for i in range(n):
+        words = list(rng.choice(fill, size=12))
+        n_pc = int(rng.integers(0, 3))
+        for _ in range(n_pc):
+            pc = str(rng.choice(pcs))
+            # embed with the canonical space: outward + " " + inward
+            words.insert(int(rng.integers(0, len(words))), f"{pc[:-3]} {pc[-3:]}")
+        text = " ".join(words)
+        url = f"https://example.org/page/{i}"
+        ts = pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=int(rng.integers(0, 86400 * 30)))
+        html = ("<html><body>" + text + "</body></html>").encode()
+        lang = "en" if rng.random() < 0.9 else str(rng.choice(["fr", "de", "es"]))
+        rows.append((url, ts, html, text, lang))
+    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+
+def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
+    """Write every fixture parquet + prepared region artifacts."""
+    base = Path(base_dir)
+    base.mkdir(parents=True, exist_ok=True)
+
+    build_cpo().to_parquet(base / "cpo_raw.parquet", index=False)
+    build_pages().to_parquet(base / "pages.parquet", index=False)
+
+    pd.DataFrame(LLSOA_CENTROIDS, columns=["code", "latitude", "longitude"]) \
+        .to_parquet(base / "llsoa_centroids.parquet", index=False)
+    pd.DataFrame(CONSTITUENCY_CENTROIDS, columns=["id", "name", "longitude", "latitude"]) \
+        .to_parquet(base / "constituency_centroids.parquet", index=False)
+    pd.DataFrame(LAD_CENTROIDS, columns=["id", "name", "longitude", "latitude"]) \
+        .to_parquet(base / "lad_centroids.parquet", index=False)
+    pd.DataFrame(DATAZONE_LOOKUP, columns=["llsoa_code", "datazone"]) \
+        .to_parquet(base / "datazone_lookup.parquet", index=False)
+    pd.DataFrame(GSP_LOOKUP, columns=["region_id", "GSPs", "gnode", "dno"]) \
+        .to_parquet(base / "gsp_lookup.parquet", index=False)
+
+    # region tables: flat bbox form for the SQL oracle (axis-aligned squares
+    # => bbox containment IS polygon containment), prepared form for the engine
+    def flat(records, extra=()):
+        rows = []
+        for seq, rec in enumerate(records):
+            ring = rec["rings"][0]
+            xs = [p[0] for p in ring]
+            ys = [p[1] for p in ring]
+            rows.append({
+                "region_id": rec["region_id"], "region_seq": seq,
+                "xmin": min(xs), "ymin": min(ys), "xmax": max(xs), "ymax": max(ys),
+                **{k: rec[k] for k in extra},
+            })
+        return pd.DataFrame(rows)
+
+    flat(LLSOA_RECORDS).to_parquet(base / "llsoa_regions.parquet", index=False)
+    flat(GSP_RECORDS, ("GSPs", "GSPGroup")).to_parquet(base / "gsp_regions.parquet", index=False)
+    for level in range(4):
+        flat(nuts_records(level)).to_parquet(base / f"nuts_regions_l{level}.parquet", index=False)
+
+    prep_dir = base / "prepared"
+    save_prepared(prepare_regions(LLSOA_RECORDS, "llsoa"), prep_dir)
+    save_prepared(prepare_regions(GSP_RECORDS, "gsp", attrs_cols=["GSPs", "GSPGroup"]),
+                  prep_dir)
+    for level in range(4):
+        save_prepared(prepare_regions(nuts_records(level), f"nuts_l{level}"), prep_dir)
+
+
+def checksum(base_dir: str | Path = FIXTURE_DIR) -> str:
+    h = hashlib.sha256()
+    for p in sorted(Path(base_dir).rglob("*.parquet")):
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+if __name__ == "__main__":
+    build_all()
+    print("fixtures written to", FIXTURE_DIR, checksum())
