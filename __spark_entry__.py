@@ -1,38 +1,664 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a geocode_spark operator over the driver's
+testdata (plus the committed fixture tables under /root/repo/fixtures);
+``oracle_sql()`` carries the independent DuckDB formulation. Geospatial
+oracles exploit that fixture polygons are axis-aligned squares, so exact
+bbox containment in SQL is an independent check of the engine's
+cell-index + ray-cast path. Point coordinates are derived with identical
+IEEE double expressions on both sides, strictly interior to region
+boundaries, so results are bit-comparable.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+
+FIX = "/root/repo/fixtures"
+
+UK_POSTCODE_REGEX = r"\b([A-Z]{1,2}[0-9][A-Z0-9]?)\s?([0-9][A-Z]{2})\b"
+
+
+# --------------------------------------------------------------------------
+# shared point derivation: deterministic synthetic lat/lons from `events`,
+# scattered strictly inside the fixture squares (or far outside)
+# --------------------------------------------------------------------------
+
+def _points(spark: SparkSession, sf_dir: str, regions_parquet: str,
+            modulus: int) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sq = spark.read.parquet(regions_parquet).select("region_seq", "xmin",
+                                                    "ymin", "xmax", "ymax")
+    pts = events.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % modulus).alias("sqi"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 211) * F.lit(1.0) / F.lit(211.0))).alias("fx"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 199) * F.lit(1.0) / F.lit(199.0))).alias("fy"),
+    )
+    j = pts.join(F.broadcast(sq), pts["sqi"] == sq["region_seq"], "left")
+    out_sq = modulus - 1
+    return j.select(
+        "row_id",
+        F.when(F.col("sqi") == out_sq, F.lit(10.0) + F.col("fy"))
+         .otherwise(F.col("ymin") + F.col("fy") * (F.col("ymax") - F.col("ymin")))
+         .alias("latitude"),
+        F.when(F.col("sqi") == out_sq, F.lit(100.0) + F.col("fx"))
+         .otherwise(F.col("xmin") + F.col("fx") * (F.col("xmax") - F.col("xmin")))
+         .alias("longitude"),
+    )
+
+
+def _points_sql(regions_parquet: str, modulus: int) -> str:
+    out_sq = modulus - 1
+    return f"""
+pts AS (
+  SELECT event_id AS row_id, event_id % {modulus} AS sqi,
+         0.05 + 0.9 * ((event_id % 211) * 1.0 / 211.0) AS fx,
+         0.05 + 0.9 * ((event_id % 199) * 1.0 / 199.0) AS fy
+  FROM events),
+sq AS (SELECT * FROM read_parquet('{regions_parquet}')),
+coords AS (
+  SELECT p.row_id,
+         CASE WHEN p.sqi = {out_sq} THEN 10.0 + p.fy
+              ELSE s.ymin + p.fy * (s.ymax - s.ymin) END AS latitude,
+         CASE WHEN p.sqi = {out_sq} THEN 100.0 + p.fx
+              ELSE s.xmin + p.fx * (s.xmax - s.xmin) END AS longitude
+  FROM pts p LEFT JOIN sq s ON s.region_seq = p.sqi)
+"""
+
+
+def _prep(name: str):
+    from geocode_spark.regions import load_prepared
+
+    return load_prepared(name, f"{FIX}/prepared")
+
+
+# --------------------------------------------------------------------------
+# query implementations
+# --------------------------------------------------------------------------
+
+def q_reverse_geocode_llsoa(spark, sf_dir):
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/llsoa_regions.parquet", 6)
+    out = reverse_geocode(pts, _prep("llsoa"))
+    return out.select("row_id", "region_id")
+
+
+def q_reverse_geocode_llsoa_join(spark, sf_dir):
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/llsoa_regions.parquet", 6)
+    out = reverse_geocode(pts, _prep("llsoa"), strategy="join")
+    return out.select("row_id", "region_id")
+
+
+def q_reverse_geocode_gsp(spark, sf_dir):
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/gsp_regions.parquet", 3)
+    prep = _prep("gsp")
+    out = reverse_geocode(pts, prep, out_col="gsp")
+    attrs = spark.createDataFrame(prep.attrs).select(
+        F.col("region_id").alias("gsp"), F.col("GSPGroup").alias("gsp_group"))
+    return (out.join(F.broadcast(attrs), "gsp", "left")
+            .select("row_id", "gsp", "gsp_group"))
+
+
+def q_reverse_geocode_nuts3(spark, sf_dir):
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/nuts_regions_l3.parquet", 4)
+    return reverse_geocode(pts, _prep("nuts_l3")).select("row_id", "region_id")
+
+
+def q_reverse_geocode_llsoa_dz(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import datazone_relabel
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/llsoa_regions.parquet", 6)
+    out = reverse_geocode(pts, _prep("llsoa"))
+    dz = spark.read.parquet(f"{FIX}/datazone_lookup.parquet")
+    return datazone_relabel(out, dz).select("row_id", "region_id")
+
+
+def q_cell_index(spark, sf_dir):
+    from geocode_spark.functions.udfs import cell_ij_udf
+
+    pts = _points(spark, sf_dir, f"{FIX}/llsoa_regions.parquet", 6)
+    ij = cell_ij_udf(15)(F.col("latitude"), F.col("longitude"))
+    return pts.select("row_id", ij.getField("i").alias("i"),
+                      ij.getField("j").alias("j"))
+
+
+def q_extract_postcodes(spark, sf_dir):
+    from geocode_spark.operators.pipeline import extract_postcode_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    return extract_postcode_mentions(pages).select("url", "postcode").distinct()
+
+
+def q_forward_geocode(spark, sf_dir):
+    from geocode_spark.operators.forward_geocode import (forward_geocode,
+                                                         prepare_cpo)
+    from geocode_spark.operators.pipeline import extract_postcode_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    cpo = prepare_cpo(spark.read.parquet(f"{FIX}/cpo_raw.parquet"))
+    mentions = extract_postcode_mentions(pages).select("url", "postcode").distinct()
+    out = forward_geocode(mentions, cpo)
+    return out.select(
+        "url", "postcode",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "match_status")
+
+
+def q_partial_postcode(spark, sf_dir):
+    from geocode_spark.operators.forward_geocode import (forward_geocode,
+                                                         prepare_cpo)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    inputs = docs.select(
+        F.col("doc_id").alias("row_id"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("AB1"))
+         .when(F.col("doc_id") % 4 == 1, F.lit("CD2 2"))
+         .when(F.col("doc_id") % 4 == 2, F.lit("EF3 3"))
+         .otherwise(F.lit("NOPE")).alias("postcode"),
+    )
+    cpo = prepare_cpo(spark.read.parquet(f"{FIX}/cpo_raw.parquet"))
+    out = forward_geocode(inputs, cpo)
+    return out.select(
+        "row_id", "postcode",
+        F.round("latitude", 6).alias("latitude"),
+        F.round("longitude", 6).alias("longitude"),
+        "match_status")
+
+
+_LLSOA_KEYS = ["E01012082", "E01011214", "E01002050", "W01000323",
+               "S00101253", "S01008087", "S01020873"]
+
+
+def q_centroid_llsoa(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import centroid_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.element_at(F.array(*[F.lit(k) for k in _LLSOA_KEYS]),
+                       (F.col("doc_id") % 7 + 1).cast("int"))
+    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("code"))
+    cen = spark.read.parquet(f"{FIX}/llsoa_centroids.parquet")
+    return centroid_lookup(keys, cen, "code", "code").select(
+        "row_id", "code", "latitude", "longitude")
+
+
+_CONSTITUENCIES = ["Poplar and Limehouse", " blyth valley ", "ALDERSHOT", "Nowhere"]
+_LADS = ["Medway", " BARROW-IN-FURNESS ", "derry city and strabane", "Nowhere"]
+
+
+def q_centroid_constituency(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import centroid_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.element_at(F.array(*[F.lit(k) for k in _CONSTITUENCIES]),
+                       (F.col("doc_id") % 4 + 1).cast("int"))
+    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("name"))
+    cen = spark.read.parquet(f"{FIX}/constituency_centroids.parquet")
+    return centroid_lookup(keys, cen, "name", "name", normalize=True).select(
+        "row_id", "name", "latitude", "longitude")
+
+
+def q_centroid_lad(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import centroid_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = F.element_at(F.array(*[F.lit(k) for k in _LADS]),
+                       (F.col("doc_id") % 4 + 1).cast("int"))
+    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("name"))
+    cen = spark.read.parquet(f"{FIX}/lad_centroids.parquet")
+    return centroid_lookup(keys, cen, "name", "name", normalize=True).select(
+        "row_id", "name", "latitude", "longitude")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from geocode_spark.operators.dedup import exact_dedup
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    return exact_dedup(pages, text_col="text", id_col="url").select("url")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    return (pages.groupBy("text")
+            .agg(F.count("*").alias("n_docs"), F.min("url").alias("min_url"))
+            .filter(F.col("n_docs") > 1)
+            .select("min_url", "n_docs"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from geocode_spark.operators.dedup import ngram_jaccard_all_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_all_pairs(docs, n=3, threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from geocode_spark.operators.dedup import minhash_dedup_pairs
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    out = minhash_dedup_pairs(pages, text_col="text", id_col="url",
+                              threshold=0.9)
+    return out.select(F.col("id_a"), F.col("id_b"),
+                      F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from geocode_spark.operators.dedup import simhash, simhash_near_pairs
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    sh = simhash(pages, text_col="text")
+    return simhash_near_pairs(sh, id_col="url", max_hamming=3)
+
+
+def q_token_stats(spark, sf_dir):
+    from geocode_spark.operators.text import with_token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_token_counts(docs).select("doc_id", "ws_tokens", "re_tokens")
+
+
+def q_quality_score(spark, sf_dir):
+    from geocode_spark.operators.text import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_quality_score(docs)
+    return out.select(
+        "doc_id", "n_words", "stopword_hits",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality_score", 2).alias("quality_score"))
+
+
+def q_lang_id(spark, sf_dir):
+    from geocode_spark.operators.text import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select("doc_id", "lang_pred")
+
+
+def _double_vecs(df):
+    return df.withColumn("embedding",
+                         F.expr("transform(embedding, x -> cast(x as double))"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from geocode_spark.operators.similarity import brute_force_topk
+
+    emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    from geocode_spark.operators.similarity import lsh_topk
+
+    emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_topk(emb, queries, dim=64, k=10, bits=8)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def q_cosine_pairs(spark, sf_dir):
+    from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return embedding_cosine_pairs(emb, threshold=0.3).select("id_a", "id_b")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+             F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+             F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+              .cast("double").alias("sum_disc_price"),
+             F.count("*").alias("count_order"))
+    )
+
+
+def q_orders_by_nation(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+              .cast("double").alias("total_price"))
+    )
+
+
+def q_top_orders_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (o.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("o_custkey", "o_orderkey", "rnk"))
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)"))
+              .cast("double").alias("total_value"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: reverse-geocode synthetic points from sf0.001 events into
+    the fixture LLSOA regions via the cell-index + ray-cast engine."""
+    return q_reverse_geocode_llsoa(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "reverse_geocode_llsoa": q_reverse_geocode_llsoa,
+        "reverse_geocode_llsoa_join": q_reverse_geocode_llsoa_join,
+        "reverse_geocode_gsp": q_reverse_geocode_gsp,
+        "reverse_geocode_nuts3": q_reverse_geocode_nuts3,
+        "reverse_geocode_llsoa_dz": q_reverse_geocode_llsoa_dz,
+        "cell_index": q_cell_index,
+        "extract_postcodes": q_extract_postcodes,
+        "forward_geocode": q_forward_geocode,
+        "partial_postcode": q_partial_postcode,
+        "centroid_llsoa": q_centroid_llsoa,
+        "centroid_constituency": q_centroid_constituency,
+        "centroid_lad": q_centroid_lad,
+        "exact_dedup": q_exact_dedup,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "cosine_pairs": q_cosine_pairs,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_nation": q_orders_by_nation,
+        "top_orders_window": q_top_orders_window,
+        "events_hourly": q_events_hourly,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = f"read_parquet('{FIX}/pages.parquet')"
+    cpo = f"read_parquet('{FIX}/cpo_geo.parquet')"
+    regex = UK_POSTCODE_REGEX  # DuckDB string literals keep backslashes literal
+
+    region_oracle = lambda parquet, modulus, select, extra_join="": f"""
+WITH {_points_sql(parquet, modulus)}
+SELECT {select}
+FROM coords c
+LEFT JOIN sq r ON c.longitude > r.xmin AND c.longitude < r.xmax
+             AND c.latitude > r.ymin AND c.latitude < r.ymax
+{extra_join}
+"""
+
+    sql = {}
+    sql["reverse_geocode_llsoa"] = region_oracle(
+        f"{FIX}/llsoa_regions.parquet", 6, "c.row_id, r.region_id")
+    sql["reverse_geocode_llsoa_join"] = sql["reverse_geocode_llsoa"]
+    sql["reverse_geocode_gsp"] = region_oracle(
+        f"{FIX}/gsp_regions.parquet", 3,
+        "c.row_id, r.region_id AS gsp, r.GSPGroup AS gsp_group")
+    sql["reverse_geocode_nuts3"] = region_oracle(
+        f"{FIX}/nuts_regions_l3.parquet", 4, "c.row_id, r.region_id")
+    sql["reverse_geocode_llsoa_dz"] = region_oracle(
+        f"{FIX}/llsoa_regions.parquet", 6,
+        "c.row_id, coalesce(dz.datazone, r.region_id) AS region_id",
+        f"LEFT JOIN read_parquet('{FIX}/datazone_lookup.parquet') dz "
+        "ON dz.llsoa_code = r.region_id")
+
+    sql["cell_index"] = f"""
+WITH {_points_sql(f"{FIX}/llsoa_regions.parquet", 6)}
+SELECT row_id,
+       CAST(floor((longitude + 180.0) / 360.0 * 32768.0) AS BIGINT) AS i,
+       CAST(floor((latitude + 90.0) / 180.0 * 32768.0) AS BIGINT) AS j
+FROM coords
+"""
+
+    mentions = f"""
+mentions AS (
+  SELECT url, unnest(regexp_extract_all(upper(text), '{regex}', 0)) AS m
+  FROM {pages}),
+norm AS (SELECT DISTINCT url, replace(m, ' ', '') AS postcode FROM mentions)
+"""
+    sql["extract_postcodes"] = f"WITH {mentions} SELECT url, postcode FROM norm"
+
+    sql["forward_geocode"] = f"""
+WITH {mentions},
+j AS (
+  SELECT n.url, n.postcode, c.latitude, c.longitude, c.Postcode AS matched
+  FROM norm n LEFT JOIN {cpo} c ON c.Postcode = n.postcode)
+SELECT url, postcode,
+       round(avg(latitude), 6) AS latitude,
+       round(avg(longitude), 6) AS longitude,
+       CASE WHEN count(matched) > 0 THEN 1 ELSE 0 END AS match_status
+FROM j GROUP BY url, postcode
+"""
+
+    sql["partial_postcode"] = f"""
+WITH inputs AS (
+  SELECT doc_id AS row_id,
+         CASE doc_id % 4 WHEN 0 THEN 'AB1' WHEN 1 THEN 'CD2 2'
+              WHEN 2 THEN 'EF3 3' ELSE 'NOPE' END AS postcode
+  FROM documents),
+s AS (
+  SELECT row_id, postcode,
+         CASE WHEN contains(postcode, ' ') THEN split_part(postcode, ' ', 1)
+              ELSE postcode END AS ow,
+         CASE WHEN contains(postcode, ' ') THEN split_part(postcode, ' ', 2)
+              END AS iw
+  FROM inputs),
+j AS (
+  SELECT s.row_id, s.postcode, c.latitude, c.longitude
+  FROM s LEFT JOIN {cpo} c
+    ON c.outward_postcode = s.ow
+   AND (s.iw IS NULL OR starts_with(c.inward_postcode, s.iw)))
+SELECT row_id, postcode,
+       round(avg(latitude), 6) AS latitude,
+       round(avg(longitude), 6) AS longitude,
+       CASE WHEN count(latitude) > 0 THEN 2 ELSE 0 END AS match_status
+FROM j GROUP BY row_id, postcode
+"""
+
+    llsoa_case = " ".join(
+        f"WHEN {i} THEN '{k}'" for i, k in enumerate(_LLSOA_KEYS))
+    sql["centroid_llsoa"] = f"""
+WITH keys AS (
+  SELECT doc_id AS row_id, CASE doc_id % 7 {llsoa_case} END AS code
+  FROM documents)
+SELECT k.row_id, k.code, c.latitude, c.longitude
+FROM keys k LEFT JOIN read_parquet('{FIX}/llsoa_centroids.parquet') c
+  ON c.code = k.code
+"""
+
+    def name_lookup_sql(names, parquet):
+        case = " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(names))
+        return f"""
+WITH keys AS (
+  SELECT doc_id AS row_id, CASE doc_id % 4 {case} END AS name
+  FROM documents)
+SELECT k.row_id, k.name, c.latitude, c.longitude
+FROM keys k LEFT JOIN read_parquet('{parquet}') c
+  ON lower(replace(replace(trim(c.name), ' ', ''), ',', ''))
+   = lower(replace(replace(trim(k.name), ' ', ''), ',', ''))
+"""
+
+    sql["centroid_constituency"] = name_lookup_sql(
+        _CONSTITUENCIES, f"{FIX}/constituency_centroids.parquet")
+    sql["centroid_lad"] = name_lookup_sql(
+        _LADS, f"{FIX}/lad_centroids.parquet")
+
+    sql["exact_dedup"] = f"""
+SELECT url FROM (
+  SELECT url, row_number() OVER (PARTITION BY text ORDER BY url) AS rn
+  FROM {pages}) WHERE rn = 1
+"""
+    sql["exact_dup_groups"] = f"""
+SELECT min(url) AS min_url, count(*) AS n_docs
+FROM {pages} GROUP BY text HAVING count(*) > 1
+"""
+
+    sql["ngram_jaccard"] = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM t WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
+"""
+
+    sql["token_stats"] = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 0)) AS re_tokens
+FROM documents
+"""
+
+    stop_en = "['the','and','of','to','in','is','that','it','for','with']"
+    sql["quality_score"] = rf"""
+WITH base AS (
+  SELECT doc_id, length(text) AS n_chars_m,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
+         len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars_m, len(toks) AS n_words,
+         len(list_intersect(list_distinct(toks), {stop_en})) AS stopword_hits,
+         CASE WHEN n_chars_m > 0 THEN n_punct * 1.0 / n_chars_m ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0
+              THEN (n_chars_m - len(toks) + 1) * 1.0 / len(toks)
+              ELSE 0.0 END AS mean_word_len
+  FROM base)
+SELECT doc_id, n_words, stopword_hits,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(mean_word_len, 6) AS mean_word_len,
+       round((CASE WHEN n_words >= 5 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN stopword_hits >= 2 THEN 0.2 ELSE 0.0 END
+            + CASE WHEN punct_ratio <= 0.2 THEN 0.1 ELSE 0.0 END), 2) AS quality_score
+FROM feat
+"""
+
+    markers = {
+        "en": "['the','and','of','to','in','is','that','it','for','with']",
+        "fr": "['le','la','les','de','des','et','est','une','dans','pour']",
+        "de": "['der','die','das','und','ist','nicht','ein','mit','von','zu']",
+        "es": "['el','la','los','de','que','y','es','en','una','por']",
+    }
+    score_cols = ",\n       ".join(
+        f"len(list_intersect(w, {v})) AS s_{k}" for k, v in markers.items())
+    sql["lang_id"] = rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '')) AS w
+  FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'unk'
+            WHEN s_en = greatest(s_en, s_fr, s_de, s_es) THEN 'en'
+            WHEN s_fr = greatest(s_en, s_fr, s_de, s_es) THEN 'fr'
+            WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
+            ELSE 'es' END AS lang_pred
+FROM s
+"""
+
+    sql["ann_topk"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.v, q.qv) AS cosine
+      FROM e, q),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
+"""
+
+    sql["cosine_pairs"] = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.3
+"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+              * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+         AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+    sql["orders_by_nation"] = """
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["top_orders_window"] = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+    sql["events_hourly"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+    # minhash_pairs / simhash_pairs / ann_topk_lsh are approximate/seeded ->
+    # rows-only checks (no SQL-expressible independent oracle)
+    return sql

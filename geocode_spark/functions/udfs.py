@@ -51,6 +51,22 @@ def cell_udf(res: int):
     return _cell
 
 
+def cell_ij_udf(res: int):
+    """(lat, lon) -> struct(i, j) grid coordinates at ``res`` — the
+    SQL-checkable decomposition of the Morton cell id."""
+    from ..cells import _ij_of
+
+    schema = StructType([StructField("i", LongType()),
+                         StructField("j", LongType())])
+
+    @F.pandas_udf(schema)
+    def _ij(lat: pd.Series, lon: pd.Series) -> pd.DataFrame:
+        i, j = _ij_of(lat.to_numpy(np.float64), lon.to_numpy(np.float64), res)
+        return pd.DataFrame({"i": i, "j": j})
+
+    return _ij
+
+
 def kring_udf(k: int):
     """kring(cell) -> array<long> of the (2k+1)^2 neighbour disc."""
 

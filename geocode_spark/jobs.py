@@ -1,0 +1,116 @@
+"""spark-submit entry points — file-to-file CLI parity with the reference's
+utilities (latlons2llsoa.py, latlons2gsp.py, postcodes2latlon.py,
+bng2latlon.py; see SURVEY.md §2.1 S10).
+
+Usage (each reads CSV with the reference's required columns, appends result
+columns, writes CSV or parquet):
+
+    spark-submit --py-files geocode_spark.zip -m geocode_spark.jobs \
+        latlons2llsoa --infile pts.csv --outfile out.csv \
+        --prepared fixtures/prepared
+
+All jobs run unchanged on a multi-executor cluster: the only driver-side
+work is broadcast construction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import pyspark.sql.functions as F
+
+
+def _read_csv(spark, path, schema_hint=None):
+    return spark.read.csv(path, header=True, inferSchema=True)
+
+
+def _write(df, path):
+    if path.endswith(".parquet"):
+        df.write.mode("overwrite").parquet(path)
+    else:
+        df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def latlons2llsoa(spark, args):
+    """latitude,longitude CSV -> + llsoa column (reference latlons2llsoa.py:73-83)."""
+    from .operators.reverse_geocode import reverse_geocode
+    from .regions import load_prepared
+
+    df = _read_csv(spark, args.infile)
+    prep = load_prepared("llsoa", args.prepared)
+    out = reverse_geocode(df, prep, out_col="llsoa")
+    if args.datazones:
+        from .operators.centroid_lookup import datazone_relabel
+
+        dz = spark.read.parquet(f"{args.fixtures}/datazone_lookup.parquet")
+        out = datazone_relabel(out, dz, region_col="llsoa")
+    _write(out, args.outfile)
+
+
+def latlons2gsp(spark, args):
+    """latitude,longitude CSV -> + gsp/gsp_group (reference latlons2gsp.py:66-77)."""
+    from .operators.reverse_geocode import reverse_geocode
+    from .regions import load_prepared
+
+    df = _read_csv(spark, args.infile)
+    prep = load_prepared("gsp", args.prepared)
+    out = reverse_geocode(df, prep, out_col="gsp")
+    if prep.attrs is not None:
+        attrs = spark.createDataFrame(prep.attrs).select(
+            F.col("region_id").alias("gsp"), F.col("GSPGroup").alias("gsp_group"))
+        out = out.join(F.broadcast(attrs), "gsp", "left")
+    _write(out, args.outfile)
+
+
+def postcodes2latlon(spark, args):
+    """postcode CSV -> + latitude/longitude/match_status
+    (reference postcodes2latlon.py:67-81)."""
+    from .operators.forward_geocode import forward_geocode, prepare_cpo
+
+    df = _read_csv(spark, args.infile)
+    cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
+    _write(forward_geocode(df, cpo, dedup_keys=True), args.outfile)
+
+
+def bng2latlon(spark, args):
+    """eastings,northings CSV -> + latitude/longitude (reference bng2latlon.py:66-78)."""
+    from .functions.udfs import bng_to_latlon_udf
+
+    df = _read_csv(spark, args.infile)
+    ll = bng_to_latlon_udf(F.col("eastings").cast("double"),
+                           F.col("northings").cast("double"))
+    out = (df.withColumn("latitude", ll.getField("lat"))
+             .withColumn("longitude", ll.getField("lon")))
+    _write(out, args.outfile)
+
+
+JOBS = {
+    "latlons2llsoa": latlons2llsoa,
+    "latlons2gsp": latlons2gsp,
+    "postcodes2latlon": postcodes2latlon,
+    "bng2latlon": bng2latlon,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="geocode_spark.jobs")
+    p.add_argument("job", choices=sorted(JOBS))
+    p.add_argument("--infile", required=True)
+    p.add_argument("--outfile", required=True)
+    p.add_argument("--prepared", default="/root/repo/fixtures/prepared")
+    p.add_argument("--fixtures", default="/root/repo/fixtures")
+    p.add_argument("--datazones", action="store_true")
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(app_name=f"geocode-spark-{args.job}")
+    try:
+        JOBS[args.job](spark, args)
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

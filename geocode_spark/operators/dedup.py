@@ -1,0 +1,320 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Beyond the reference's scope (its only dedup is drop_duplicates on cache
+keys, cpo.py:187-189); these are the first-class corpus-dedup primitives a
+100 TB text pipeline needs. All deterministic (seeded hash families), all
+shuffle-minimal:
+
+* exact_dedup          — hash-groupBy on a content fingerprint (one shuffle)
+* minhash_signatures   — shingle -> minhash inside a pandas UDF (no shuffle)
+* lsh_candidate_pairs  — band -> bucket self-join (shuffle on band-hash; the
+                         classic MinHash-LSH plan: only bucket-colliding
+                         pairs are ever materialized)
+* simhash              — 64-bit simhash of token multiset (no shuffle)
+* ngram_jaccard_pairs  — exact verification of candidate pairs
+* embedding_cosine_pairs — near-dup via cosine over an embedding column
+
+Determinism note: hash family is xxhash-free — pure numpy multiply-shift
+(splitmix-style) so results are identical on any cluster with no deps.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_family(n: int, seed: int = 42):
+    """n pairwise-independent (a*x+b) mod p hash functions."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Rolling 64-bit hashes of the k-character shingles of text."""
+    if not text or len(text) < k:
+        return np.zeros(1, dtype=np.uint64)
+    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(b) < k:
+        return np.zeros(1, dtype=np.uint64)
+    # polynomial rolling hash over a sliding window, fully vectorized:
+    # h[i] = sum_{j<k} b[i+j] * P^(k-1-j)  (mod 2^64)
+    P = np.uint64(1099511628211)  # FNV prime
+    acc = np.zeros(len(b) - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc = acc * P + b[j:len(b) - k + 1 + j].astype(np.uint64)
+    return np.unique(acc)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per byte-identical text. One shuffle
+    on the 64-bit fingerprint — never on the raw text bytes."""
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """(fingerprint, n_docs, min_id) for every duplicated text group."""
+    return (
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("fingerprint"))
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 64,
+                       shingle_k: int = 5, seed: int = 42) -> DataFrame:
+    """Add a ``signature: array<long>`` MinHash column. Arrow-batched numpy;
+    zero shuffle."""
+    a, b = _hash_family(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingle_hashes(t or "", shingle_k).astype(np.int64)
+            # (a * x + b) mod p, min over shingles, per hash function
+            vals = (a[None, :] * (sh[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
+            out.append(vals.min(axis=0).tolist())
+        return pd.Series(out)
+
+    return df.withColumn("signature", sig(F.col(text_col)))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
+    (a < b). Shuffle key = (band, band_hash) — uniform by construction, so
+    no skew; pair blowup is bounded per bucket by construction of LSH."""
+    assert bands * rows_per_band <= 1024
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("signature", i * rows_per_band + 1,
+                                             rows_per_band))
+                for i in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.band") == F.col("r.band"))
+               & (F.col("l.band_hash") == F.col("r.band_hash"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.7,
+                        num_hashes: int = 64, shingle_k: int = 5,
+                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+    """Full MinHash-LSH near-dup: signatures -> banded buckets -> candidate
+    pairs -> signature-estimated Jaccard filter.
+
+    Signatures are persisted: they feed the band explode twice (self-join)
+    and the verification joins twice — recomputing the shingle UDF 4x would
+    quadruple the only Python-side cost in the plan."""
+    sigs = minhash_signatures(df.select(id_col, text_col), text_col, id_col,
+                              num_hashes, shingle_k).select(id_col, "signature")
+    sigs = sigs.persist()
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sl = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sr = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        cand.join(sl, "id_a").join(sr, "id_b")
+        .withColumn(
+            "jaccard_est",
+            F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
+            / F.lit(num_hashes))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    return est
+
+
+def simhash(df: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
+    """Add a 64-bit ``simhash`` column (token-multiset simhash)."""
+
+    @F.pandas_udf(LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            hs = np.array([hash_str(tok) for tok in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            v = (bits * 2 - 1).sum(axis=0)
+            out[i] = np.int64(
+                np.uint64(sum(np.uint64(1) << np.uint64(k)
+                              for k in np.flatnonzero(v > 0))))
+        return pd.Series(out)
+
+    def hash_str(s: str) -> int:
+        # FNV-1a 64-bit: deterministic across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for ch in s.encode("utf-8", "ignore"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.withColumn("simhash", sh(F.col(text_col)))
+
+
+def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, blocked on 16-bit chunks
+    (pigeonhole: distance<=3 pairs share at least one of 4 chunks)."""
+    with_chunks = df.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk_pos", "chunk"),
+    )
+    l = with_chunks.alias("l")
+    r = with_chunks.alias("r")
+    cand = (
+        l.join(r, (F.col("l.chunk_pos") == F.col("r.chunk_pos"))
+               & (F.col("l.chunk") == F.col("r.chunk"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                F.col("l.simhash").alias("sh_a"),
+                F.col("r.simhash").alias("sh_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact word-n-gram Jaccard for given candidate pairs (verification
+    stage after LSH). Set algebra in Catalyst: array_intersect/array_union."""
+    toks = df.select(F.col(id_col),
+                     F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks"))
+    grams = toks.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.transform(F.col("__toks"),
+                                lambda w, i: F.slice(F.col("__toks"), i + 1, n)),
+                    lambda arr: F.size(arr) == n),
+                lambda arr: F.array_join(arr, " "))
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    gb = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        pairs.join(ga, "id_a").join(gb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("uni", F.size(F.array_union("g_a", "g_b")))
+        .withColumn("jaccard", F.when(F.col("uni") > 0,
+                                      F.col("inter") / F.col("uni")).otherwise(0.0))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                 n: int = 3) -> DataFrame:
+    """(id, gram) distinct word-n-grams per document (Catalyst-only)."""
+    toks = df.select(F.col(id_col),
+                     F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks"))
+    return toks.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.transform(F.col("__toks"),
+                                lambda w, i: F.slice(F.col("__toks"), i + 1, n)),
+                    lambda arr: F.size(arr) == n),
+                lambda arr: F.array_join(arr, " "))
+        )).alias("gram"),
+    )
+
+
+def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n: int = 3,
+                            threshold: float = 0.5) -> DataFrame:
+    """Exact all-pairs word-n-gram Jaccard via an inverted-index self-join:
+    explode distinct grams, join on gram (pairs share >=1 gram — everything
+    else has jaccard 0), count intersections, divide by union sizes.
+
+    The gram join is the classic set-similarity plan: shuffle key = gram,
+    pair blowup bounded by document-frequency of each gram (stop-gram
+    filtering would bound it further at corpus scale)."""
+    grams = ngram_tokens(df, text_col, id_col, n)
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("__n"))
+    l = grams.select(F.col(id_col).alias("id_a"), "gram")
+    r = grams.select(F.col(id_col).alias("id_b"), "gram")
+    inter = (
+        l.join(r, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        inter.join(sa, "id_a").join(sb, "id_b")
+        .withColumn("jaccard",
+                    F.col("__inter")
+                    / (F.col("__na") + F.col("__nb") - F.col("__inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           threshold: float = 0.95) -> DataFrame:
+    """Near-dup by embedding cosine similarity.
+
+    Baseline all-pairs (self-join) — correct at any scale but O(n^2); the
+    scale path buckets by an LSH random-hyperplane sketch first (see
+    similarity.lsh_buckets) so only same-bucket pairs join.
+    """
+    norm = emb.select(
+        F.col(id_col),
+        F.transform(
+            vec_col,
+            lambda x: x / F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                                             lambda a, y: a + y * y))
+        ).alias("nv"),
+    )
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.expr(
+            "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

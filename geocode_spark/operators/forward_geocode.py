@@ -6,26 +6,25 @@ ops — no per-row Python anywhere:
 
 * postcode normalization (strip/upper/despace, cpo.py:152-154)  -> Catalyst
   string expressions (whole-stage codegen, SURVEY F1-F3)
-* exact match: left BroadcastHashJoin vs the CPO dimension (cpo.py:156-161)
-* multi-unit postcodes: groupBy(row).avg — Spark ``avg`` skips NULLs exactly
-  like np.nanmean after NaN->NULL ingest (cpo.py:162-172, SURVEY A1)
-* partial-postcode fallback (cpo.py:217-228): equi-join on outward + inward
-  *prefix* residual predicate, then filtered mean (status 2)
+* exact match + multi-unit nanmean (cpo.py:156-172): the reference joins 1:N
+  then groupbys per input row — but the mean only depends on the postcode
+  key, so we pre-aggregate the CPO dimension ONCE (postcode -> avg lat/lon;
+  Spark ``avg`` skips NULLs exactly like np.nanmean after NaN->NULL ingest)
+  and the fact-side join becomes 1:1 broadcast — ZERO fact-side shuffle
+* partial-postcode fallback (cpo.py:217-228): likewise precomputed as a
+  prefix-mean dimension over (outward, inward-prefix, prefix-len) for all
+  prefix lengths 0..3, again a 1:1 broadcast join (status 2)
 * status codes: 1 full match, 2 partial, 0 failed (geocode.py:79-85)
 
-The CPO dimension (~1.7M rows real scale) is always the broadcast side; the
-postcode (fact) side never shuffles except the per-row aggregation of the
-1:N join, which AQE coalesces. The repeated-key optimization the reference
-gets from its session cache (cpo.py:140-149) is available as
-``dedup_keys=True``: distinct normalized keys -> geocode -> map back, a
-distinct-then-broadcast-back that pays off when web text repeats postcodes
-heavily (SURVEY §4).
+Physical plan at any scale: scan -> codegen'd normalize -> two
+BroadcastHashJoins -> project. The fact side never shuffles; the dimension
+aggregations (<=1.7M rows real CPO) happen once on the broadcast side.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 
 def prepare_cpo(cpo_raw: DataFrame) -> DataFrame:
@@ -51,14 +50,45 @@ def prepare_cpo(cpo_raw: DataFrame) -> DataFrame:
     )
     ll = bng_to_latlon_udf(F.col("Eastings").cast("double"),
                            F.col("Northings").cast("double"))
-    df = df.withColumn("latitude", F.when(mask, ll.getField("lat")))
-    df = df.withColumn("longitude", F.when(mask, ll.getField("lon")))
+    df = df.withColumn("__ll", ll)
+    df = df.withColumn("latitude", F.when(mask, F.col("__ll.lat")))
+    df = df.withColumn("longitude", F.when(mask, F.col("__ll.lon"))).drop("__ll")
     df = df.withColumn(
         "outward_postcode",
         F.trim(F.expr("substring(Postcode, 1, greatest(length(Postcode) - 3, 0))")))
     df = df.withColumn("inward_postcode",
                        F.trim(F.expr("substring(Postcode, -3, 3)")))
     return df
+
+
+def exact_dim(cpo: DataFrame) -> DataFrame:
+    """postcode -> (avg lat, avg lon). Row presence == exact match exists.
+    Equivalent to the reference's per-row groupby-nanmean (cpo.py:162-172)
+    because the mean depends only on the postcode key."""
+    return (cpo.groupBy(F.col("Postcode").alias("__pc"))
+            .agg(F.avg("latitude").alias("__lat1"),
+                 F.avg("longitude").alias("__lon1")))
+
+
+def prefix_dim(cpo: DataFrame, max_len: int = 3) -> DataFrame:
+    """(outward, inward-prefix, prefix-len) -> mean lat/lon over matching
+    units, for every prefix length 0..max_len. The precomputed form of
+    geocode_one's filtered mean (cpo.py:217-228)."""
+    parts = []
+    for L in range(0, max_len + 1):
+        parts.append(
+            cpo.groupBy(
+                F.col("outward_postcode").alias("__ow"),
+                F.substring("inward_postcode", 1, L).alias("__iw") if L > 0
+                else F.lit("").alias("__iw"),
+            ).agg(F.avg("latitude").alias("__lat2"),
+                  F.avg("longitude").alias("__lon2"))
+            .withColumn("__iwlen", F.lit(L))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def forward_geocode(
@@ -69,77 +99,58 @@ def forward_geocode(
 ) -> DataFrame:
     """Add latitude/longitude/match_status columns to ``postcodes``.
 
-    ``cpo`` must be the prepared dimension from :func:`prepare_cpo`.
-    Output preserves all input columns (order restoration is the caller's
-    concern via their own key — the reference sorts by its ordinal id,
-    cpo.py:190; inside the engine order is free).
+    ``cpo`` is the prepared dimension from :func:`prepare_cpo`. All input
+    columns pass through (the reference instead restores order by its
+    ordinal id, cpo.py:190; inside the engine order is free).
+
+    ``dedup_keys=True`` reproduces the reference's session-cache effect
+    (cpo.py:140-149) — distinct keys first, geocode, broadcast back. With
+    the pre-aggregated dimensions the default path is already shuffle-free,
+    so dedup only pays when the distinct key set is small AND downstream
+    wants the distinct results themselves.
     """
     if dedup_keys:
         keys = postcodes.select(postcode_col).distinct()
         geocoded = forward_geocode(keys, cpo, postcode_col, dedup_keys=False)
         return postcodes.join(F.broadcast(geocoded), postcode_col, "left")
 
-    pts = postcodes.withColumn("__fg_row", F.monotonically_increasing_id())
-    pts = pts.withColumn(
-        "__norm", F.upper(F.regexp_replace(F.trim(F.col(postcode_col)), " ", "")))
-
-    cpo_cols = cpo.select(
-        F.col("Postcode").alias("__cpo_pc"),
-        F.col("latitude").alias("__cpo_lat"),
-        F.col("longitude").alias("__cpo_lon"),
-    )
-    joined = pts.join(F.broadcast(cpo_cols),
-                      pts["__norm"] == cpo_cols["__cpo_pc"], "left")
-    exact = joined.groupBy("__fg_row").agg(
-        F.first("__cpo_pc").alias("__matched"),
-        F.avg("__cpo_lat").alias("__lat1"),
-        F.avg("__cpo_lon").alias("__lon1"),
-    )
-
-    # partial fallback: only for rows with no exact CPO match (a broadcast
-    # anti-join keeps the prefix join's fact side small — real outward
-    # districts have thousands of units each)
-    pts_miss = pts.join(
-        F.broadcast(cpo.select(F.col("Postcode").alias("__norm")).distinct()),
-        "__norm", "left_anti")
-
-    # outward/inward split of the *raw* input (the
-    # reference uppercases but does NOT despace in geocode_one, cpo.py:211-224)
+    # normalization, F1/F3 (cpo.py:152-154 / 211-224)
+    norm = F.upper(F.regexp_replace(F.trim(F.col(postcode_col)), " ", ""))
     up = F.upper(F.trim(F.col(postcode_col)))
-    pts2 = pts_miss.withColumn(
-        "__outward", F.when(up.contains(" "), F.split(up, " ", 2).getItem(0)).otherwise(up)
-    ).withColumn(
-        "__inward", F.when(up.contains(" "), F.split(up, " ", 2).getItem(1)))
+    pts = (postcodes
+           .withColumn("__norm", norm)
+           .withColumn("__outward",
+                       F.when(up.contains(" "), F.split(up, " ", 2).getItem(0))
+                        .otherwise(up))
+           .withColumn("__inward",
+                       F.when(up.contains(" "), F.split(up, " ", 2).getItem(1))
+                        .otherwise(F.lit(""))))
 
-    cpo_part = cpo.select(
-        F.col("outward_postcode").alias("__c_out"),
-        F.col("inward_postcode").alias("__c_in"),
-        F.col("latitude").alias("__c_lat"),
-        F.col("longitude").alias("__c_lon"),
-    )
-    part_join = pts2.join(
-        F.broadcast(cpo_part),
-        (F.col("__outward") == F.col("__c_out"))
-        & (F.col("__inward").isNull()
-           | F.col("__c_in").startswith(F.col("__inward"))),
+    ex = exact_dim(cpo)
+    px = prefix_dim(cpo)
+
+    out = pts.join(F.broadcast(ex), pts["__norm"] == ex["__pc"], "left")
+    out = out.join(
+        F.broadcast(px),
+        (out["__outward"] == px["__ow"])
+        & (F.coalesce(out["__inward"], F.lit("")) == px["__iw"])
+        & (F.length(F.coalesce(out["__inward"], F.lit(""))) == px["__iwlen"]),
         "left",
     )
-    partial = part_join.groupBy("__fg_row").agg(
-        F.avg("__c_lat").alias("__lat2"),
-        F.avg("__c_lon").alias("__lon2"),
-    )
-
     out = (
-        pts.join(exact, "__fg_row", "left")
-        .join(partial, "__fg_row", "left")
-        .withColumn("latitude", F.coalesce("__lat1", "__lat2"))
-        .withColumn("longitude", F.coalesce("__lon1", "__lon2"))
+        out.withColumn(
+            "latitude",
+            F.when(F.col("__pc").isNotNull(), F.col("__lat1"))
+             .otherwise(F.col("__lat2")))
+        .withColumn(
+            "longitude",
+            F.when(F.col("__pc").isNotNull(), F.col("__lon1"))
+             .otherwise(F.col("__lon2")))
         .withColumn(
             "match_status",
-            F.when(F.col("__matched").isNotNull(), F.lit(1))
-            .when(F.col("__lat2").isNotNull(), F.lit(2))
-            .otherwise(F.lit(0)),
-        )
+            F.when(F.col("__pc").isNotNull(), F.lit(1))
+             .when(F.col("__lat2").isNotNull(), F.lit(2))
+             .otherwise(F.lit(0)))
     )
     drop = [c for c in out.columns if c.startswith("__")]
     return out.drop(*drop)

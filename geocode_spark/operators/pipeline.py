@@ -1,0 +1,61 @@
+"""Flagship document pipeline: Common-Crawl-style pages -> geocoded docs.
+
+The north-star query (BASELINE.json): over an Iceberg/parquet table
+``(url, warc_ts, html, text, lang)``, extract UK postcodes from ``text``
+(Catalyst regexp, F13), forward-geocode them against the CPO dimension
+(broadcast join), reverse-geocode the resulting points into LLSOA /
+constituency / GSP regions (cell-index + ray-cast), and emit one row per
+(url, postcode) with cell/tile assignments. ``text`` passes through
+byte-identical per url (invariant).
+
+Plan shape: scan -> codegen'd extract+explode -> BroadcastHashJoin (CPO) ->
+groupBy(url, postcode) partial-agg -> mapInPandas (cell+PIP) -> sink. The
+only shuffle is the per-(url,postcode) aggregation of multi-unit matches;
+everything else pipelines with the scan — at 10^12 docs the job is
+embarrassingly parallel and skew-free (no hot join key ever shuffles:
+dimension sides are broadcast).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.udfs import extract_postcodes
+from ..regions import PreparedRegions
+from .forward_geocode import forward_geocode
+from .reverse_geocode import reverse_geocode
+
+
+def extract_postcode_mentions(pages: DataFrame, text_col: str = "text") -> DataFrame:
+    """pages -> one row per (url, postcode mention). Codegen-only."""
+    return (
+        pages
+        .withColumn("postcode", F.explode(extract_postcodes(text_col)))
+    )
+
+
+def geocode_documents(
+    pages: DataFrame,
+    cpo: DataFrame,
+    llsoa_prep: PreparedRegions | None = None,
+    gsp_prep: PreparedRegions | None = None,
+    dedup_keys: bool = True,
+) -> DataFrame:
+    """Full pipeline. Returns one row per (url, extracted postcode) with
+    latitude/longitude/match_status [+ llsoa [+ gsp, gsp_group]] and the
+    point's cell_id (tile assignment) when a region set is given.
+    """
+    mentions = extract_postcode_mentions(pages).select(
+        "url", "warc_ts", "lang", "postcode")
+    geo = forward_geocode(mentions, cpo, dedup_keys=dedup_keys)
+    if llsoa_prep is not None:
+        geo = reverse_geocode(geo, llsoa_prep, out_col="llsoa", keep_cell=True)
+    if gsp_prep is not None:
+        geo = reverse_geocode(geo, gsp_prep, out_col="gsp")
+        if gsp_prep.attrs is not None:
+            attrs = geo.sparkSession.createDataFrame(
+                gsp_prep.attrs.rename(columns={"GSPs": "gsp", "GSPGroup": "gsp_group"})
+            ).select("region_id", "gsp_group").withColumnRenamed("region_id", "gsp")
+            geo = geo.join(F.broadcast(attrs), "gsp", "left")
+    return geo

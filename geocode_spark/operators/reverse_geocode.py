@@ -51,12 +51,14 @@ def _candidate_probe(pdf: pd.DataFrame, cover: pd.DataFrame, res: int,
     into pdf."""
     lat = pdf[lat_col].to_numpy(dtype=np.float64)
     lon = pdf[lon_col].to_numpy(dtype=np.float64)
-    cells = cell_of(lat, lon, res)
+    valid = np.isfinite(lat) & np.isfinite(lon)
+    pos = np.arange(len(pdf), dtype=np.int64)[valid]
+    cells = cell_of(lat[valid], lon[valid], res)
     probe = pd.DataFrame({
-        "__pos": np.arange(len(pdf), dtype=np.int64),
+        "__pos": pos,
         "cell": cells,
-        "__x": lon,
-        "__y": lat,
+        "__x": lon[valid],
+        "__y": lat[valid],
     })
     return probe.merge(cover, on="cell", how="inner")
 
@@ -188,20 +190,22 @@ def reverse_geocode(
                 hit = _resolve_pip(cand, geoms)
                 rid = np.full(len(pdf), None, dtype=object)
                 rid[hit["__pos"].to_numpy()] = hit["region_id"].to_numpy()
+                lat_all = pdf[lat_col].to_numpy(np.float64)
+                lon_all = pdf[lon_col].to_numpy(np.float64)
+                finite = np.isfinite(lat_all) & np.isfinite(lon_all)
                 if max_distance is not None:
-                    miss = np.flatnonzero(pd.isna(rid))
+                    miss = np.flatnonzero(pd.isna(rid) & finite)
                     if len(miss):
-                        px = pdf[lon_col].to_numpy(np.float64)[miss]
-                        py = pdf[lat_col].to_numpy(np.float64)[miss]
-                        near = _knn_fallback(miss, px, py, prep_local,
-                                             max_distance)
+                        near = _knn_fallback(miss, lon_all[miss], lat_all[miss],
+                                             prep_local, max_distance)
                         rid[near["__pos"].to_numpy()] = near["region_id"].to_numpy()
                 out = pdf[in_cols].copy()
                 out[out_col] = rid
                 if keep_cell:
-                    out["cell_id"] = cell_of(
-                        pdf[lat_col].to_numpy(np.float64),
-                        pdf[lon_col].to_numpy(np.float64), res)
+                    cid = np.full(len(pdf), None, dtype=object)
+                    if finite.any():
+                        cid[finite] = cell_of(lat_all[finite], lon_all[finite], res)
+                    out["cell_id"] = pd.array(cid, dtype="Int64")
                 yield out
 
         return points.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,174 @@
+"""Similarity search over an embedding column (array<float>).
+
+* brute_force_topk — exact cosine top-k per query vector: broadcast the
+  queries (small side), score every corpus row JVM-side with zip_with /
+  aggregate (no Python), window top-k. The correctness baseline.
+* lsh_buckets / lsh_topk — random-hyperplane LSH: bucket corpus and queries
+  by an s-bit sign sketch, candidate = same bucket (or Hamming<=r probe),
+  exact cosine re-rank inside buckets only. The 100 TB path: corpus pass is
+  one map + one bucketed shuffle; queries never see rows outside their
+  probed buckets.
+* ivf_topk — IVF-style: k-means-lite centroids (deterministic seeded
+  sample), assign corpus to nearest centroid (nprobe search at query time).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.types import LongType
+
+
+def _dot(a, b):
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+
+def _norm_col(vec_col: str):
+    return F.sqrt(F.expr(
+        f"aggregate({vec_col}, 0D, (acc, v) -> acc + v * v)"))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank). Queries are
+    broadcast; the corpus scan is a single narrow pass + one top-k shuffle
+    keyed by query_id (k small => combiner-friendly)."""
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("__dot", _dot("__cv", "__qv"))
+        .withColumn("__na", _norm_col("__cv"))
+        .withColumn("__nb", _norm_col("__qv"))
+        .withColumn("cosine",
+                    F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+                           F.col("__dot") / (F.col("__na") * F.col("__nb")))
+                    .otherwise(F.lit(0.0)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_buckets(df: DataFrame, dim: int, bits: int = 16,
+                vec_col: str = "embedding", seed: int = 42,
+                out_col: str = "bucket") -> DataFrame:
+    """Random-hyperplane sign sketch -> int64 bucket id (Arrow batch)."""
+    H = _hyperplanes(dim, bits, seed)
+
+    @F.pandas_udf(LongType())
+    def sketch(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ H.T) > 0
+        weights = (1 << np.arange(bits)).astype(np.int64)
+        return pd.Series(signs @ weights)
+
+    return df.withColumn(out_col, sketch(F.col(vec_col)))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             bits: int = 12, id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", seed: int = 42,
+             hamming_probes: int = 1) -> DataFrame:
+    """ANN top-k: bucket candidates, exact cosine re-rank.
+
+    Multi-probe: each query also probes every bucket within Hamming distance
+    ``hamming_probes`` of its own sketch (bits+1 buckets at distance 1) —
+    the standard recall lift that costs query-side fanout only; the corpus
+    is still touched once per (bucket, query) candidate group. Recall is
+    tunable via ``bits`` (fewer = bigger buckets) and ``hamming_probes``."""
+    cb = lsh_buckets(corpus, dim, bits, vec_col, seed)
+    qb = lsh_buckets(queries, dim, bits, vec_col, seed)
+    if hamming_probes >= 1:
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+        qb = qb.withColumn("bucket", F.explode(F.array(*flips)))
+    q = qb.select(query_id_col, F.col(vec_col).alias("__qv"), "bucket")
+    c = cb.select(id_col, F.col(vec_col).alias("__cv"), "bucket")
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .withColumn("__dot", _dot("__cv", "__qv"))
+        .withColumn("__na", _norm_col("__cv"))
+        .withColumn("__nb", _norm_col("__qv"))
+        .withColumn("cosine",
+                    F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+                           F.col("__dot") / (F.col("__na") * F.col("__nb")))
+                    .otherwise(F.lit(0.0)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
+             n_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding", query_id_col: str = "query_id",
+             seed: int = 42, train_sample: int = 4096) -> DataFrame:
+    """IVF: centroids from a deterministic corpus sample (one k-means step),
+    corpus rows assigned to nearest centroid, queries probe nprobe lists."""
+    sample = np.stack([
+        r[0] for r in corpus.select(vec_col).limit(train_sample).collect()
+    ])
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
+    cent = sample[idx]
+    # one Lloyd refinement on the sample for stability
+    d = sample @ cent.T
+    assign = d.argmax(axis=1)
+    for ci in range(len(cent)):
+        m = assign == ci
+        if m.any():
+            cent[ci] = sample[m].mean(axis=0)
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+
+    def assigner(n_lists: int):
+        @F.pandas_udf(LongType())
+        def nearest(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())
+            nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series((nm @ cent.T).argmax(axis=1).astype(np.int64))
+        return nearest
+
+    @F.pandas_udf("array<long>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = nm @ cent.T
+        order = np.argsort(-sims, axis=1)[:, :nprobe]
+        return pd.Series([row.astype(np.int64).tolist() for row in order])
+
+    c = corpus.withColumn("list_id", assigner(len(cent))(F.col(vec_col))) \
+              .select(id_col, F.col(vec_col).alias("__cv"), "list_id")
+    q = queries.withColumn("list_id", F.explode(probe_lists(F.col(vec_col)))) \
+               .select(query_id_col, F.col(vec_col).alias("__qv"), "list_id")
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .withColumn("__dot", _dot("__cv", "__qv"))
+        .withColumn("__na", _norm_col("__cv"))
+        .withColumn("__nb", _norm_col("__qv"))
+        .withColumn("cosine",
+                    F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
+                           F.col("__dot") / (F.col("__na") * F.col("__nb")))
+                    .otherwise(F.lit(0.0)))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -17,7 +17,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 
-from ..crs import latlon_to_bng
+from ..crs import bng_to_latlon, latlon_to_bng
 from ..regions import prepare_regions, save_prepared
 
 FIXTURE_DIR = Path(__file__).resolve().parents[2] / "fixtures"
@@ -146,6 +146,8 @@ DATAZONE_LOOKUP = [
     # llsoa (OA) code -> datazone (ons_nrs.py:279-291; relabel ons_nrs.py:387-394)
     ("S01008087", "S01008087"),
     ("S00101253", "S01008087"),
+    # non-identity mapping so the relabel path is observably exercised
+    ("E01012082", "DZ000001"),
 ]
 
 GSP_LOOKUP = [
@@ -157,6 +159,29 @@ GSP_LOOKUP = [
 
 
 # --- pages fact table (BASELINE.json input_hint) ------------------------------
+
+def build_cpo_geo() -> pd.DataFrame:
+    """The prepared CPO dimension exactly as operators.forward_geocode.
+    prepare_cpo computes it (P1 drop, P2 quirk mask, BNG->WGS84, outward/
+    inward split) — materialized so the DuckDB oracle can join against it.
+    A pytest asserts Spark's prepare_cpo output equals this table."""
+    df = build_cpo().copy()
+    df["Postcode"] = df["Postcode"].str.replace(" ", "", regex=False).str.upper()
+    df = df[~((df["Eastings"] == 0) & (df["Northings"] == 0))].reset_index(drop=True)
+    # P2 quirk: (Eastings.notnull() & PQI) < 90  ==  (1 & PQI) < 90
+    mask = (df["Eastings"].notnull().astype(int) & df["Positional_quality_indicator"]) < 90
+    lat = np.full(len(df), np.nan)
+    lon = np.full(len(df), np.nan)
+    la, lo = bng_to_latlon(df.loc[mask, "Eastings"].to_numpy(np.float64),
+                           df.loc[mask, "Northings"].to_numpy(np.float64))
+    lat[mask.to_numpy()] = la
+    lon[mask.to_numpy()] = lo
+    df["latitude"] = lat
+    df["longitude"] = lon
+    df["outward_postcode"] = df["Postcode"].str.slice(0, -3).str.strip()
+    df["inward_postcode"] = df["Postcode"].str.slice(-3).str.strip()
+    return df
+
 
 def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     """Common-Crawl-style pages with deterministic UK postcodes and lat/lon
@@ -180,7 +205,15 @@ def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
         html = ("<html><body>" + text + "</body></html>").encode()
         lang = "en" if rng.random() < 0.9 else str(rng.choice(["fr", "de", "es"]))
         rows.append((url, ts, html, text, lang))
-    return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # inject exact duplicates (same text/html, new url) so dedup operators
+    # have real work: every 40th page is mirrored once
+    for i in range(0, n, 40):
+        url, ts, html, text, lang = rows[i]
+        rows.append((f"https://mirror.example.net/copy/{i}", ts, html, text, lang))
+    df = pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    # Spark cannot read TIMESTAMP(NANOS) parquet — write microseconds
+    df["warc_ts"] = df["warc_ts"].astype("datetime64[us]")
+    return df
 
 
 def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
@@ -189,6 +222,7 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     base.mkdir(parents=True, exist_ok=True)
 
     build_cpo().to_parquet(base / "cpo_raw.parquet", index=False)
+    build_cpo_geo().to_parquet(base / "cpo_geo.parquet", index=False)
     build_pages().to_parquet(base / "pages.parquet", index=False)
 
     pd.DataFrame(LLSOA_CENTROIDS, columns=["code", "latitude", "longitude"]) \
