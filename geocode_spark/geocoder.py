@@ -1,0 +1,204 @@
+"""GeocoderSpark — 1:1 API facade over the reference's public surface.
+
+A user of the reference's ``Geocoder`` class (/root/reference/geocode/
+geocode.py:87-366) can switch to this class and run every call they run
+today, except inputs/outputs are DataFrames (a ``row_id``-ordered collect
+reproduces the reference's positional-list contract; thin list helpers are
+provided for drop-in parity).
+
+Method map (reference -> here):
+  geocode_postcode (geocode.py:236-245)          -> geocode_postcode
+  geocode_llsoa (geocode.py:139-148)             -> geocode_llsoa
+  geocode_constituency (geocode.py:197-206)      -> geocode_constituency
+  geocode_local_authority (geocode.py:208-217)   -> geocode_local_authority
+  geocode(..., entity=...) (geocode.py:247-281)  -> geocode dispatcher
+  reverse_geocode_llsoa (geocode.py:150-167)     -> reverse_geocode_llsoa
+  reverse_geocode_gsp (geocode.py:219-234)       -> reverse_geocode_gsp
+  reverse_geocode_nuts (geocode.py:169-195)      -> reverse_geocode_nuts
+  reverse_geocode (geocode.py:283-308)           -> reverse_geocode dispatcher
+  bng2latlon / latlon2bng (utilities.py:335-391) -> same names (DataFrame)
+  force_setup (geocode.py:380-392)               -> prepare (fixture/prep build)
+  cache_manager.clear (cache_manager.py:86-119)  -> clear_prepared
+
+GMaps paths (geocode.py status codes 3/4; gmaps.py) are an external paid
+API and are intentionally not distributed: statuses 3/4 are never produced,
+exactly like the reference without an API key (gmaps.py:145-148).
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.centroid_lookup import centroid_lookup, datazone_relabel
+from .operators.forward_geocode import forward_geocode, prepare_cpo
+from .operators.reverse_geocode import reverse_geocode
+from .regions import load_prepared
+
+ENGINE_VERSION = "1"
+
+
+class GeocoderSpark:
+    def __init__(self, spark: SparkSession,
+                 data_dir: str = "/root/repo/fixtures",
+                 prepared_dir: str | None = None):
+        self.spark = spark
+        self.data_dir = Path(data_dir)
+        self.prepared_dir = Path(prepared_dir or self.data_dir / "prepared")
+        self._cpo = None
+        self._preps: dict[str, object] = {}
+
+    # --- lazy dimension loads (mirrors the reference's lazy _load pattern,
+    # cpo.py:41-53, ons_nrs.py:74-78) ---------------------------------------
+
+    def _cpo_dim(self):
+        if self._cpo is None:
+            raw = self.spark.read.parquet(str(self.data_dir / "cpo_raw.parquet"))
+            self._cpo = prepare_cpo(raw)
+        return self._cpo
+
+    def _prep(self, name: str):
+        if name not in self._preps:
+            self._preps[name] = load_prepared(name, self.prepared_dir)
+        return self._preps[name]
+
+    def _table(self, fname: str) -> DataFrame:
+        return self.spark.read.parquet(str(self.data_dir / fname))
+
+    # --- forward geocode ----------------------------------------------------
+
+    def geocode_postcode(self, postcodes: DataFrame,
+                         postcode_col: str = "postcode") -> DataFrame:
+        return forward_geocode(postcodes, self._cpo_dim(), postcode_col)
+
+    def geocode_llsoa(self, llsoas: DataFrame, code_col: str = "llsoa") -> DataFrame:
+        return centroid_lookup(llsoas, self._table("llsoa_centroids.parquet"),
+                               code_col, "code")
+
+    def geocode_constituency(self, names: DataFrame,
+                             name_col: str = "constituency") -> DataFrame:
+        return centroid_lookup(names,
+                               self._table("constituency_centroids.parquet"),
+                               name_col, "name", normalize=True)
+
+    def geocode_local_authority(self, names: DataFrame,
+                                name_col: str = "lad") -> DataFrame:
+        return centroid_lookup(names, self._table("lad_centroids.parquet"),
+                               name_col, "name", normalize=True)
+
+    def geocode(self, keys: DataFrame, entity: str, key_col: str | None = None
+                ) -> DataFrame:
+        """Dispatcher parity with geocode.py:247-281."""
+        dispatch = {
+            "postcode": (self.geocode_postcode, "postcode"),
+            "llsoa": (self.geocode_llsoa, "llsoa"),
+            "constituency": (self.geocode_constituency, "constituency"),
+            "lad": (self.geocode_local_authority, "lad"),
+        }
+        if entity not in dispatch:
+            raise ValueError(
+                f"The entity '{entity}' is not supported"  # geocode.py:269 analogue
+            )
+        fn, default_col = dispatch[entity]
+        return fn(keys, key_col or default_col)
+
+    # --- reverse geocode ----------------------------------------------------
+
+    def reverse_geocode_llsoa(self, latlons: DataFrame, dz: bool = False,
+                              out_col: str = "llsoa") -> DataFrame:
+        out = reverse_geocode(latlons, self._prep("llsoa"), out_col=out_col)
+        if dz:
+            out = datazone_relabel(out,
+                                   self._table("datazone_lookup.parquet"),
+                                   region_col=out_col)
+        return out
+
+    def reverse_geocode_gsp(self, latlons: DataFrame) -> DataFrame:
+        """(gsp, gsp_group) pair output parity (utilities.py:286-289)."""
+        prep = self._prep("gsp")
+        out = reverse_geocode(latlons, prep, out_col="gsp")
+        if prep.attrs is not None:
+            attrs = self.spark.createDataFrame(prep.attrs).select(
+                F.col("region_id").alias("gsp"),
+                F.col("GSPGroup").alias("gsp_group"))
+            out = out.join(F.broadcast(attrs), "gsp", "left")
+        return out
+
+    def reverse_geocode_nuts(self, latlons: DataFrame, level: int = 3,
+                             out_col: str = "nuts") -> DataFrame:
+        if not 0 <= level <= 3:
+            raise ValueError("level must be in 0..3")  # eurostat.py guard
+        return reverse_geocode(latlons, self._prep(f"nuts_l{level}"),
+                               out_col=out_col)
+
+    def reverse_geocode(self, latlons: DataFrame, entity: str, **kw) -> DataFrame:
+        dispatch = {
+            "llsoa": self.reverse_geocode_llsoa,
+            "gsp": self.reverse_geocode_gsp,
+            "nuts": self.reverse_geocode_nuts,
+        }
+        if entity not in dispatch:
+            raise ValueError(f"The entity '{entity}' is not supported")
+        return dispatch[entity](latlons, **kw)
+
+    # --- CRS helpers ----------------------------------------------------------
+
+    def bng2latlon(self, df: DataFrame, eastings_col: str = "eastings",
+                   northings_col: str = "northings") -> DataFrame:
+        from .functions.udfs import bng_to_latlon_udf
+
+        ll = bng_to_latlon_udf(F.col(eastings_col).cast("double"),
+                               F.col(northings_col).cast("double"))
+        return (df.withColumn("__ll", ll)
+                .withColumn("latitude", F.col("__ll.lat"))
+                .withColumn("longitude", F.col("__ll.lon")).drop("__ll"))
+
+    def latlon2bng(self, df: DataFrame, lat_col: str = "latitude",
+                   lon_col: str = "longitude") -> DataFrame:
+        from .functions.udfs import latlon_to_bng_udf
+
+        en = latlon_to_bng_udf(F.col(lat_col).cast("double"),
+                               F.col(lon_col).cast("double"))
+        return (df.withColumn("__en", en)
+                .withColumn("eastings", F.col("__en.easting"))
+                .withColumn("northings", F.col("__en.northing")).drop("__en"))
+
+    # --- list helpers: positional contract parity (geocode.py README usage) --
+
+    def geocode_postcode_list(self, postcodes: list[str]) -> list[tuple]:
+        df = self.spark.createDataFrame(
+            [(i, p) for i, p in enumerate(postcodes)],
+            "row_id long, postcode string")
+        rows = self.geocode_postcode(df).orderBy("row_id").collect()
+        return [(r.latitude, r.longitude, r.match_status) for r in rows]
+
+    def reverse_geocode_llsoa_list(self, latlons: list[tuple], dz: bool = False
+                                   ) -> list:
+        df = self.spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(latlons)],
+            "row_id long, latitude double, longitude double")
+        rows = self.reverse_geocode_llsoa(df, dz=dz).orderBy("row_id").collect()
+        return [r.llsoa for r in rows]
+
+    def reverse_geocode_gsp_list(self, latlons: list[tuple]) -> list[tuple]:
+        df = self.spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(latlons)],
+            "row_id long, latitude double, longitude double")
+        rows = self.reverse_geocode_gsp(df).orderBy("row_id").collect()
+        return [(r.gsp, r.gsp_group) for r in rows]
+
+    def geocode_llsoa_list(self, llsoas: list[str]) -> list[tuple]:
+        df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(llsoas)], "row_id long, llsoa string")
+        rows = self.geocode_llsoa(df).orderBy("row_id").collect()
+        return [(r.latitude, r.longitude) for r in rows]
+
+    # --- prepared-data lifecycle (cache_manager parity) -----------------------
+
+    def clear_prepared(self) -> None:
+        """cache_manager.clear() analogue: drop prepared region artifacts."""
+        if self.prepared_dir.exists():
+            shutil.rmtree(self.prepared_dir)

@@ -32,10 +32,13 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _hash_family(n: int, seed: int = 42):
-    """n pairwise-independent (a*x+b) mod p hash functions."""
+    """n multiply-shift hash functions (odd multiplier a, offset b) over
+    Z/2^64 — modulo-free, wraps via uint64 overflow. Duplicated shingles
+    cannot change a min, so no dedup pass is needed either."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=n, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, size=n, dtype=np.int64)
+    a = (rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
+         << np.uint64(1)) | np.uint64(1)  # force odd
+    b = rng.integers(0, 2**63, size=n, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
@@ -52,7 +55,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     acc = np.zeros(len(b) - k + 1, dtype=np.uint64)
     for j in range(k):
         acc = acc * P + b[j:len(b) - k + 1 + j].astype(np.uint64)
-    return np.unique(acc)
+    return acc
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -86,20 +89,26 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     def sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts:
-            sh = _shingle_hashes(t or "", shingle_k).astype(np.int64)
-            # (a * x + b) mod p, min over shingles, per hash function
-            vals = (a[None, :] * (sh[:, None] % _MERSENNE) + b[None, :]) % _MERSENNE
-            out.append(vals.min(axis=0).tolist())
+            sh = _shingle_hashes(t or "", shingle_k)
+            # min over shingles of (a*x+b mod 2^64), per hash function
+            vals = a[None, :] * sh[:, None] + b[None, :]
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 
     return df.withColumn("signature", sig(F.col(text_col)))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
-    (a < b). Shuffle key = (band, band_hash) — uniform by construction, so
-    no skew; pair blowup is bounded per bucket by construction of LSH."""
+    (a < b). Shuffle key = (band, band_hash) — uniform by construction.
+
+    ``max_bucket_size`` is the skew guard: buckets larger than the cap are
+    dropped before the self-join (pair blowup per bucket is quadratic; a
+    boilerplate-heavy web corpus can put millions of near-identical docs in
+    one bucket — the standard practice is to drop or sub-sample stop-buckets
+    and let the remaining bands recover the pairs)."""
     assert bands * rows_per_band <= 1024
     banded = sigs.select(
         F.col(id_col),
@@ -111,6 +120,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("band", "band_hash"),
     )
+    if max_bucket_size is not None:
+        sizes = (banded.groupBy("band", "band_hash")
+                 .agg(F.count("*").alias("__bn"))
+                 .filter(F.col("__bn") <= max_bucket_size)
+                 .drop("__bn"))
+        banded = banded.join(sizes, ["band", "band_hash"])
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
@@ -127,7 +142,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.7,
                         num_hashes: int = 64, shingle_k: int = 5,
-                        bands: int = 16, rows_per_band: int = 4) -> DataFrame:
+                        bands: int = 16, rows_per_band: int = 4,
+                        max_bucket_size: int | None = None) -> DataFrame:
     """Full MinHash-LSH near-dup: signatures -> banded buckets -> candidate
     pairs -> signature-estimated Jaccard filter.
 
@@ -137,7 +153,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, id_col,
                               num_hashes, shingle_k).select(id_col, "signature")
     sigs = sigs.persist()
-    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
+                               max_bucket_size)
     sl = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (
@@ -155,6 +172,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 def simhash(df: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
     """Add a 64-bit ``simhash`` column (token-multiset simhash)."""
 
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
@@ -162,21 +181,13 @@ def simhash(df: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
             toks = (t or "").lower().split()
             if not toks:
                 continue
-            hs = np.array([hash_str(tok) for tok in toks], dtype=np.uint64)
+            # vectorized stable 64-bit token hashes (C siphash, fixed key)
+            hs = pd.util.hash_array(np.asarray(toks, dtype=object))
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             v = (bits * 2 - 1).sum(axis=0)
-            out[i] = np.int64(
-                np.uint64(sum(np.uint64(1) << np.uint64(k)
-                              for k in np.flatnonzero(v > 0))))
+            out[i] = ((v > 0) * weights).sum(dtype=np.uint64).astype(np.int64)
         return pd.Series(out)
-
-    def hash_str(s: str) -> int:
-        # FNV-1a 64-bit: deterministic across processes (unlike hash())
-        h = 0xCBF29CE484222325
-        for ch in s.encode("utf-8", "ignore"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
 
     return df.withColumn("simhash", sh(F.col(text_col)))
 

@@ -51,6 +51,14 @@ def geocode_documents(
     geo = forward_geocode(mentions, cpo, dedup_keys=dedup_keys)
     if llsoa_prep is not None:
         geo = reverse_geocode(geo, llsoa_prep, out_col="llsoa", keep_cell=True)
+        # coarse tile assignment (raster partition key for sinks/rollups);
+        # cell_id is the fine-resolution index cell
+        from ..functions.udfs import cell_udf
+
+        geo = geo.withColumn(
+            "tile_id",
+            F.when(F.col("latitude").isNotNull(),
+                   cell_udf(8)(F.col("latitude"), F.col("longitude"))))
     if gsp_prep is not None:
         geo = reverse_geocode(geo, gsp_prep, out_col="gsp")
         if gsp_prep.attrs is not None:

@@ -96,49 +96,46 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
                   prep: PreparedRegions, max_distance: float,
                   max_k: int = 8) -> pd.DataFrame:
     """Ring-expansion bounded nearest-region (sjoin_nearest semantics,
-    utilities.py:270-284). Distance unit = degrees (prep space)."""
+    utilities.py:270-284). Distance unit = degrees (prep space).
+
+    Fully vectorized: each round k expands every unresolved point's
+    neighbour disc at once (broadcasted i/j grids), one hash join against
+    the cover map, then per-region batched exact distances. A point is
+    final once its best distance is provably inside the already-searched
+    radius (no closer region can appear in a later ring)."""
     cover = prep.cover
     res = prep.res
     n = np.int64(1) << res
     out_rid = np.full(len(miss_pos), None, dtype=object)
     out_dist = np.full(len(miss_pos), np.inf)
-    res_arr, ci, cj = cell_to_ij(cell_of(py, px, res))
+    _, ci, cj = cell_to_ij(cell_of(py, px, res))
     unresolved = np.arange(len(miss_pos))
     # cell size in degrees (lat step is half the lon step on this grid)
     cell_deg = 360.0 / float(n)
-    cover_cells = cover["cell"].to_numpy()
+    cover_small = cover[["cell", "region_id"]].drop_duplicates()
     for k in range(1, max_k + 1):
         if len(unresolved) == 0:
             break
-        # gather candidate regions from the (2k+1)^2 disc for unresolved pts
         di = np.arange(-k, k + 1)
-        rows = []
-        for u in unresolved:
-            ii = (ci[u] + di) % n
-            jj = np.clip(cj[u] + di, 0, n - 1)
-            gi, gj = np.meshgrid(ii, jj)
-            ring_cells = cell_from_ij(gi.ravel(), gj.ravel(), res)
-            m = cover[np.isin(cover_cells, ring_cells)]
-            if m.empty:
-                continue
-            for rid in m["region_id"].unique():
-                rows.append((u, rid))
-        if rows:
-            cand = pd.DataFrame(rows, columns=["u", "region_id"])
-            for rid, grp in cand.groupby("region_id", sort=False):
-                xs, ys, offs, _ = prep.geoms[rid]
-                uu = grp["u"].to_numpy()
-                d = dist_to_polygon(px[uu], py[uu], xs, ys, offs)
-                better = d < out_dist[uu]
-                upd = uu[better]
-                out_dist[upd] = d[better]
-                out_rid[upd] = rid
-        # a point is resolved once its best distance is provably within the
-        # already-searched ring radius (no closer region can appear later)
+        # (unresolved x disc) neighbour cells in one broadcast
+        ii = (ci[unresolved, None, None] + di[None, :, None]) % n
+        jj = np.clip(cj[unresolved, None, None] + di[None, None, :], 0, n - 1)
+        u_rep = np.broadcast_to(unresolved[:, None, None], ii.shape).ravel()
+        ring_cells = cell_from_ij(ii.ravel(), jj.ravel(), res)
+        probe = pd.DataFrame({"u": u_rep, "cell": ring_cells}).drop_duplicates()
+        cand = probe.merge(cover_small, on="cell")[["u", "region_id"]] \
+                    .drop_duplicates()
+        for rid, grp in cand.groupby("region_id", sort=False):
+            xs, ys, offs, bbox = prep.geoms[rid]
+            uu = grp["u"].to_numpy()
+            d = dist_to_polygon(px[uu], py[uu], xs, ys, offs)
+            better = d < out_dist[uu]
+            upd = uu[better]
+            out_dist[upd] = d[better]
+            out_rid[upd] = rid
         safe_radius = (k - 0.5) * cell_deg * 0.5
         done = (out_dist[unresolved] <= min(max_distance, safe_radius))
         unresolved = unresolved[~done]
-    # final bound check
     valid = out_dist <= max_distance
     return pd.DataFrame({
         "__pos": miss_pos[valid],

@@ -1,0 +1,152 @@
+"""Reference-data source loaders (SURVEY.md §2.1).
+
+Each mirrors a reference ingest path, re-expressed for Spark:
+
+* S1  zip-CSV scan (cpo.py:41-114): the Code Point Open zip is extracted
+  once driver-side, then read as a single multi-file ``spark.read.csv``
+  with the fixed 10-column schema — the union of members is the scan.
+* S7  PSV centroid scan (ons_nrs.py:293-319, 490-514).
+* S6  GeoJSON FeatureCollection -> region records for prepare_regions
+  (neso.py:139-142, eurostat.py:98-102, ons_nrs.py:184-201).
+* S2/S3  7z extraction (utilities.py:433-487) — gated on py7zr, which is
+  not in this environment; raises with a clear message otherwise.
+* S8/S9  versioned prepared-table cache management (cache_manager.py:22-119).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import zipfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (IntegerType, StringType, StructField,
+                               StructType)
+
+CPO_COLUMNS = [
+    # fixed 10-column layout, cpo.py:60-71
+    "Postcode", "Positional_quality_indicator", "Eastings", "Northings",
+    "Country_code", "NHS_regional_HA_code", "NHS_HA_code",
+    "Admin_county_code", "Admin_district_code", "Admin_ward_code",
+]
+
+CPO_SCHEMA = StructType([
+    StructField("Postcode", StringType()),
+    StructField("Positional_quality_indicator", IntegerType()),
+    StructField("Eastings", IntegerType()),
+    StructField("Northings", IntegerType()),
+    StructField("Country_code", StringType()),
+    StructField("NHS_regional_HA_code", StringType()),
+    StructField("NHS_HA_code", StringType()),
+    StructField("Admin_county_code", StringType()),
+    StructField("Admin_district_code", StringType()),
+    StructField("Admin_ward_code", StringType()),
+])
+
+
+def load_cpo_zip(spark: SparkSession, zip_path: str | Path,
+                 staging_dir: str | Path | None = None) -> DataFrame:
+    """S1: extract ``Data/CSV/*.csv`` members of codepo_gb.zip and scan them
+    as one headerless CSV source with the fixed schema, pruned to the four
+    used columns (cpo.py:88-93). Extraction is a one-time driver-side cost;
+    the scan itself is distributed over the extracted files."""
+    staging = Path(staging_dir or tempfile.mkdtemp(prefix="cpo_zip_"))
+    staging.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with zipfile.ZipFile(zip_path, "r") as zf:
+        for member in zf.namelist():
+            if "Data/CSV/" not in member or not member.endswith(".csv"):
+                continue
+            target = staging / Path(member).name
+            with zf.open(member) as src, open(target, "wb") as dst:
+                shutil.copyfileobj(src, dst)
+            n += 1
+    if n == 0:
+        raise FileNotFoundError(
+            f"no Data/CSV/*.csv members found in {zip_path}")
+    df = spark.read.csv(str(staging), schema=CPO_SCHEMA, header=False)
+    return df.select("Postcode", "Positional_quality_indicator",
+                     "Eastings", "Northings")
+
+
+def load_psv_centroids(spark: SparkSession, path: str | Path) -> DataFrame:
+    """S7: ``id|name|lon|lat`` headerless PSV -> centroid DataFrame
+    (parse at ons_nrs.py:309-313)."""
+    schema = "id string, name string, longitude double, latitude double"
+    return spark.read.csv(str(path), sep="|", schema=schema, header=False)
+
+
+def geojson_to_records(feature_collection: dict, id_property: str,
+                       extra_properties: tuple[str, ...] = ()) -> list[dict]:
+    """S6: GeoJSON FeatureCollection -> records for prepare_regions.
+
+    Polygon -> rings (outer + holes); MultiPolygon -> all rings concatenated
+    (even-odd ray-cast gives identical membership to the part-wise test).
+    The reference's ``buffer(0)`` repair (ons_nrs.py:195-196) is a shapely
+    validity fix; the even-odd rule used by our kernels is already defined
+    for self-intersecting rings, so no repair pass is required.
+    """
+    records = []
+    for feat in feature_collection.get("features", []):
+        props = feat.get("properties", {})
+        geom = feat.get("geometry") or {}
+        gtype = geom.get("type")
+        coords = geom.get("coordinates", [])
+        if gtype == "Polygon":
+            rings = [[(float(x), float(y)) for x, y, *_ in ring]
+                     for ring in coords]
+        elif gtype == "MultiPolygon":
+            rings = [[(float(x), float(y)) for x, y, *_ in ring]
+                     for poly in coords for ring in poly]
+        else:
+            continue
+        rec = {"region_id": str(props[id_property]), "rings": rings}
+        for p in extra_properties:
+            rec[p] = props.get(p)
+        records.append(rec)
+    return records
+
+
+def read_csv_from_7z(spark: SparkSession, archive: str | Path, member: str,
+                     **csv_kwargs) -> DataFrame:
+    """S2: extract one CSV member of a .7z archive (utilities.py:450-487).
+    py7zr is not available in this container — the Spark-side plumbing is
+    identical to load_cpo_zip once extraction succeeds."""
+    try:
+        import py7zr  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "7z extraction requires py7zr, which is not installed in this "
+            "environment; stage the member as CSV/parquet instead") from ex
+    staging = Path(tempfile.mkdtemp(prefix="sevenz_"))
+    with py7zr.SevenZipFile(archive, mode="r") as z:
+        z.extract(path=staging, targets=[member])
+    return spark.read.csv(str(staging / member), **csv_kwargs)
+
+
+# --- S8/S9: versioned prepared-table management (cache_manager parity) -----
+
+def prepared_path(base_dir: str | Path, label: str, version: str) -> Path:
+    """Version-keyed path, mirroring cache_manager.py:42-47 filenames."""
+    return Path(base_dir) / f"{label}_{version}"
+
+
+def clear_prepared(base_dir: str | Path, keep_version: str | None = None,
+                   label: str | None = None) -> list[str]:
+    """S9: delete prepared dirs; optionally only stale versions
+    (cache_manager.py:86-119 semantics). Returns removed names."""
+    base = Path(base_dir)
+    removed = []
+    if not base.exists():
+        return removed
+    for child in base.iterdir():
+        if not child.is_dir():
+            continue
+        if label is not None and not child.name.startswith(f"{label}_"):
+            continue
+        if keep_version is not None and child.name.endswith(f"_{keep_version}"):
+            continue
+        shutil.rmtree(child)
+        removed.append(child.name)
+    return removed
