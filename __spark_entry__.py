@@ -222,6 +222,26 @@ def q_centroid_lad(spark, sf_dir):
         "row_id", "name", "latitude", "longitude")
 
 
+def q_llsoa_from_postcode(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import llsoa_from_postcode
+    from geocode_spark.operators.pipeline import extract_postcode_mentions
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    mentions = extract_postcode_mentions(pages).select("url", "postcode").distinct()
+    lookup = spark.read.parquet(f"{FIX}/pc_llsoa_lookup.parquet")
+    return llsoa_from_postcode(mentions, lookup).select("url", "postcode", "llsoa")
+
+
+def q_gsp_expand(spark, sf_dir):
+    from geocode_spark.operators.centroid_lookup import gsp_expand
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/gsp_regions.parquet", 3)
+    out = reverse_geocode(pts, _prep("gsp"), out_col="gsp")
+    lookup = spark.read.parquet(f"{FIX}/gsp_lookup.parquet")
+    return gsp_expand(out, lookup).select("row_id", "gsp", "gnode", "dno")
+
+
 def q_exact_dedup(spark, sf_dir):
     from geocode_spark.operators.dedup import exact_dedup
 
@@ -390,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_llsoa": q_centroid_llsoa,
         "centroid_constituency": q_centroid_constituency,
         "centroid_lad": q_centroid_lad,
+        "llsoa_from_postcode": q_llsoa_from_postcode,
+        "gsp_expand": q_gsp_expand,
         "exact_dedup": q_exact_dedup,
         "exact_dup_groups": q_exact_dup_groups,
         "ngram_jaccard": q_ngram_jaccard,
@@ -517,6 +539,19 @@ FROM keys k LEFT JOIN read_parquet('{parquet}') c
         _CONSTITUENCIES, f"{FIX}/constituency_centroids.parquet")
     sql["centroid_lad"] = name_lookup_sql(
         _LADS, f"{FIX}/lad_centroids.parquet")
+
+    sql["llsoa_from_postcode"] = f"""
+WITH {mentions}
+SELECT n.url, n.postcode, l.lsoa11cd AS llsoa
+FROM norm n LEFT JOIN read_parquet('{FIX}/pc_llsoa_lookup.parquet') l
+  ON l.postcode = n.postcode
+"""
+
+    sql["gsp_expand"] = region_oracle(
+        f"{FIX}/gsp_regions.parquet", 3,
+        "c.row_id, r.region_id AS gsp, g.gnode, g.dno",
+        f"LEFT JOIN read_parquet('{FIX}/gsp_lookup.parquet') g "
+        "ON g.region_id = r.region_id")
 
     sql["exact_dedup"] = f"""
 SELECT url FROM (

@@ -39,24 +39,23 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 WARMUP = os.environ.get("BENCH_WARMUP", "1") != "0"
 
 
-def make_points(spark, n):
-    """n deterministic points, ~83% inside the 5 fixture LLSOA squares."""
-    sq = spark.read.parquet(f"{FIX}/llsoa_regions.parquet")
+def make_points(spark, n, regions="complex_regions.parquet", n_regions=64):
+    """n deterministic points scattered across the bbox of the benchmark
+    region set (realistic-complexity 400-vertex polygons): a mix of
+    interior-cell hash-probe hits, boundary-cell exact ray-casts and
+    misses — the workload profile of a real boundary dataset."""
+    sq = spark.read.parquet(f"{FIX}/{regions}")
     ids = spark.range(n).select(F.col("id").alias("row_id"))
     pts = ids.select(
-        "row_id", (F.col("row_id") % 6).alias("sqi"),
-        (F.lit(0.05) + F.lit(0.9) * ((F.col("row_id") % 211) * F.lit(1.0) / F.lit(211.0))).alias("fx"),
-        (F.lit(0.05) + F.lit(0.9) * ((F.col("row_id") % 199) * F.lit(1.0) / F.lit(199.0))).alias("fy"),
+        "row_id", (F.col("row_id") % n_regions).alias("sqi"),
+        ((F.col("row_id") % 211) * F.lit(1.0) / F.lit(211.0)).alias("fx"),
+        ((F.col("row_id") % 199) * F.lit(1.0) / F.lit(199.0)).alias("fy"),
     )
     j = pts.join(F.broadcast(sq), pts["sqi"] == sq["region_seq"], "left")
     return j.select(
         "row_id",
-        F.when(F.col("sqi") == 5, F.lit(10.0) + F.col("fy"))
-         .otherwise(F.col("ymin") + F.col("fy") * (F.col("ymax") - F.col("ymin")))
-         .alias("latitude"),
-        F.when(F.col("sqi") == 5, F.lit(100.0) + F.col("fx"))
-         .otherwise(F.col("xmin") + F.col("fx") * (F.col("xmax") - F.col("xmin")))
-         .alias("longitude"),
+        (F.col("ymin") + F.col("fy") * (F.col("ymax") - F.col("ymin"))).alias("latitude"),
+        (F.col("xmin") + F.col("fx") * (F.col("xmax") - F.col("xmin"))).alias("longitude"),
     )
 
 
@@ -101,13 +100,14 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     llsoa = load_prepared("llsoa", f"{FIX}/prepared")
+    cplx = load_prepared("complex", f"{FIX}/prepared")
     gsp = load_prepared("gsp", f"{FIX}/prepared")
     cpo = prepare_cpo(spark.read.parquet(f"{FIX}/cpo_raw.parquet"))
     queries = {}
 
     def run_reverse(n):
         pts = make_points(spark, n)
-        return reverse_geocode(pts, llsoa).filter(
+        return reverse_geocode(pts, cplx).filter(
             F.col("region_id").isNotNull()).count()
 
     def run_pipeline(n):
@@ -127,16 +127,26 @@ def main():
             id_col="url", threshold=0.8, shingle_k=8,
             bands=8, rows_per_band=8, max_bucket_size=64).count()
 
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+    # replicate the sf embeddings to a corpus large enough that JVM-side
+    # scoring dominates scheduling overhead
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.expr("transform(embedding, x -> cast(x as double))"))
-    emb = emb.repartition(CPUS).cache()
+    n_emb = emb0.count()
+    emb = (emb0.crossJoin(spark.range(max(200000 // n_emb, 1))
+                          .select(F.col("id").alias("rep")))
+           .withColumn("vec_id", F.col("vec_id") + F.col("rep") * n_emb)
+           .drop("rep").repartition(CPUS * 2).cache())
+    emb.count()
 
     def run_ann(k):
         q = emb.filter(F.col("vec_id") < k).select(
             F.col("vec_id").alias("query_id"), "embedding")
         return brute_force_topk(emb, q, k=10).count()
 
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    li = (li0.crossJoin(spark.range(8).select(F.col("id").alias("rep")))
+          .repartition(CPUS * 2).cache())
+    li.count()
 
     def run_pricing():
         return (li.groupBy("l_returnflag", "l_linestatus")
@@ -155,8 +165,8 @@ def main():
 
     queries["reverse_geocode_pts"], _ = bench(lambda: run_reverse(N_POINTS))
     queries["pipeline_docs"], _ = bench(lambda: run_pipeline(N_DOCS))
-    queries["minhash_dedup"], _ = bench(lambda: run_minhash(40000))
-    queries["ann_topk"], _ = bench(lambda: run_ann(64))
+    queries["minhash_dedup"], _ = bench(lambda: run_minhash(80000))
+    queries["ann_topk"], _ = bench(lambda: run_ann(16))
     queries["pricing_summary"], _ = bench(run_pricing)
 
     total = sum(queries.values())

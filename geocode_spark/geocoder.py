@@ -40,6 +40,22 @@ from .regions import load_prepared
 
 ENGINE_VERSION = "1"
 
+# geocode.py:79-85 — exact reference status-code table
+STATUS_CODES = {
+    0: "Failed",
+    1: "Full match with Code Point Open",
+    2: "Partial match with Code Point Open",
+    3: "Full match with GMaps",
+    4: "Partial match with GMaps",
+}
+
+
+def status_string(col):
+    """F11: int status -> human string via a literal map (no join needed)."""
+    m = F.create_map(*[F.lit(x) for kv in STATUS_CODES.items() for x in kv])
+    c = F.col(col) if isinstance(col, str) else col
+    return m.getItem(c)
+
 
 class GeocoderSpark:
     def __init__(self, spark: SparkSession,
@@ -143,6 +159,30 @@ class GeocoderSpark:
         if entity not in dispatch:
             raise ValueError(f"The entity '{entity}' is not supported")
         return dispatch[entity](latlons, **kw)
+
+    def llsoa_from_postcode(self, postcodes: DataFrame,
+                            postcode_col: str = "postcode") -> DataFrame:
+        """J6: postcode -> LLSOA code (ons_nrs.py:462-488)."""
+        from .operators.centroid_lookup import llsoa_from_postcode
+
+        return llsoa_from_postcode(
+            postcodes, self._table("pc_llsoa_lookup.parquet"), postcode_col)
+
+    def gsp_expand(self, assignments: DataFrame) -> DataFrame:
+        """J8: attach all (gnode, dno) rows per assigned GSP (neso.py:336-343)."""
+        from .operators.centroid_lookup import gsp_expand
+
+        return gsp_expand(assignments, self._table("gsp_lookup.parquet"))
+
+    def geocode_address(self, addresses: DataFrame) -> DataFrame:
+        """GMaps path stub: the reference falls back to the paid Google
+        Maps API for addresses (gmaps.py:104-168). Without an API key the
+        reference returns NaN/status 0 (gmaps.py:145-148) — reproduced here;
+        statuses 3/4 exist in STATUS_CODES but are never produced."""
+        return (addresses
+                .withColumn("latitude", F.lit(None).cast("double"))
+                .withColumn("longitude", F.lit(None).cast("double"))
+                .withColumn("match_status", F.lit(0)))
 
     # --- CRS helpers ----------------------------------------------------------
 

@@ -60,6 +60,33 @@ def centroid_lookup(
     return out
 
 
+def llsoa_from_postcode(postcodes: DataFrame, pc_llsoa: DataFrame,
+                        postcode_col: str = "postcode",
+                        out_col: str = "llsoa") -> DataFrame:
+    """J6: postcode -> LLSOA equi-join on the normalized postcode key
+    (ons_nrs.py:462-488 / lookup build 516-535). Broadcast left join."""
+    norm = F.upper(F.regexp_replace(F.trim(F.col(postcode_col)), " ", ""))
+    rhs = pc_llsoa.select(
+        F.col("postcode").alias("__pk"),
+        F.col("lsoa11cd").alias(out_col),
+    )
+    return (postcodes.withColumn("__pk", norm)
+            .join(F.broadcast(rhs), "__pk", "left")
+            .drop("__pk"))
+
+
+def gsp_expand(assignments: DataFrame, gsp_lookup: DataFrame,
+               region_col: str = "gsp") -> DataFrame:
+    """J8: many:many Region<->GSP<->GNode expansion (neso.py:336-343):
+    each assigned region picks up ALL its lookup rows (row explosion is the
+    natural join semantics; the reference materializes list-of-dicts)."""
+    rhs = gsp_lookup.select(
+        F.col("region_id").alias(region_col),
+        F.col("gnode"), F.col("dno"),
+    )
+    return assignments.join(F.broadcast(rhs), region_col, "left")
+
+
 def datazone_relabel(assignments: DataFrame, dz_lookup: DataFrame,
                      region_col: str = "region_id") -> DataFrame:
     """Scottish datazone relabel after LLSOA reverse geocode

@@ -158,6 +158,23 @@ GSP_LOOKUP = [
 ]
 
 
+def build_pc_llsoa_lookup() -> pd.DataFrame:
+    """Postcode -> LLSOA lookup (ons_nrs.py:516-535 shape: all-string pcds
+    plus normalized postcode key). Maps the golden postcodes and the AB1
+    neighbourhood onto fixture LLSOA codes."""
+    rows = [
+        ("RG1 3PE", "E01002050"), ("S10 2FR", "E01011214"),
+        ("FY2 0RD", "W01000323"), ("DUP 1AA", "E01012082"),
+    ]
+    cpo = build_cpo()
+    codes = [c for c, *_ in LLSOA_CENTROIDS]
+    for i, pc in enumerate(sorted(cpo[cpo["Eastings"] > 0]["Postcode"].unique())):
+        rows.append((pc[:-3] + " " + pc[-3:], codes[i % len(codes)]))
+    df = pd.DataFrame(rows, columns=["pcds", "lsoa11cd"]).drop_duplicates("pcds")
+    df["postcode"] = df["pcds"].str.strip().str.upper().str.replace(" ", "", regex=False)
+    return df.drop_duplicates("postcode")
+
+
 # --- pages fact table (BASELINE.json input_hint) ------------------------------
 
 def build_cpo_geo() -> pd.DataFrame:
@@ -216,6 +233,29 @@ def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     return df
 
 
+def complex_region_records(n_regions: int = 64, n_vertices: int = 400,
+                           seed: int = 7) -> list[dict]:
+    """Realistic-complexity synthetic regions for benchmarking: jittered
+    star-convex polygons (~n_vertices each, like real LLSOA boundaries)
+    tiled over an 8x8 grid near the UK. Deterministic."""
+    rng = np.random.default_rng(seed)
+    recs = []
+    grid = int(np.ceil(np.sqrt(n_regions)))
+    for r in range(n_regions):
+        gx, gy = r % grid, r // grid
+        cx = -6.0 + gx * 0.5
+        cy = 50.0 + gy * 0.5
+        ang = np.linspace(0, 2 * np.pi, n_vertices, endpoint=False)
+        rad = 0.2 * (1.0 + 0.35 * np.sin(ang * rng.integers(3, 9))
+                     + 0.1 * rng.standard_normal(n_vertices).cumsum() / np.sqrt(n_vertices))
+        rad = np.clip(np.abs(rad), 0.03, 0.24)
+        xs = cx + rad * np.cos(ang)
+        ys = cy + rad * np.sin(ang)
+        recs.append({"region_id": f"CPLX{r:04d}",
+                     "rings": [list(zip(xs.tolist(), ys.tolist()))]})
+    return recs
+
+
 def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     """Write every fixture parquet + prepared region artifacts."""
     base = Path(base_dir)
@@ -235,6 +275,7 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
         .to_parquet(base / "datazone_lookup.parquet", index=False)
     pd.DataFrame(GSP_LOOKUP, columns=["region_id", "GSPs", "gnode", "dno"]) \
         .to_parquet(base / "gsp_lookup.parquet", index=False)
+    build_pc_llsoa_lookup().to_parquet(base / "pc_llsoa_lookup.parquet", index=False)
 
     # region tables: flat bbox form for the SQL oracle (axis-aligned squares
     # => bbox containment IS polygon containment), prepared form for the engine
@@ -256,7 +297,20 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     for level in range(4):
         flat(nuts_records(level)).to_parquet(base / f"nuts_regions_l{level}.parquet", index=False)
 
+    complex_recs = complex_region_records()
+    flat_rows = []
+    for seq, rec in enumerate(complex_recs):
+        xs = [p[0] for p in rec["rings"][0]]
+        ys = [p[1] for p in rec["rings"][0]]
+        flat_rows.append({"region_id": rec["region_id"], "region_seq": seq,
+                          "xmin": min(xs), "ymin": min(ys),
+                          "xmax": max(xs), "ymax": max(ys)})
+    pd.DataFrame(flat_rows).to_parquet(base / "complex_regions.parquet", index=False)
+
     prep_dir = base / "prepared"
+    # res 13 ~ production tuning: most covering cells interior (hash-probe
+    # shortcut), boundary cells carry the exact 400-edge ray-cast
+    save_prepared(prepare_regions(complex_recs, "complex", res=13), prep_dir)
     save_prepared(prepare_regions(LLSOA_RECORDS, "llsoa"), prep_dir)
     save_prepared(prepare_regions(GSP_RECORDS, "gsp", attrs_cols=["GSPs", "GSPGroup"]),
                   prep_dir)

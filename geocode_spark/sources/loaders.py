@@ -125,6 +125,18 @@ def read_csv_from_7z(spark: SparkSession, archive: str | Path, member: str,
     return spark.read.csv(str(staging / member), **csv_kwargs)
 
 
+def read_pages(spark: SparkSession, source: str) -> DataFrame:
+    """S11: the 10^12-row fact scan. Reads an Iceberg table when the
+    catalog/runtime is present (partition + predicate pruning from Iceberg
+    metadata), else a parquet path (this sandbox). Either way the engine
+    sees the same (url, warc_ts, html, text, lang) DataFrame and every
+    downstream operator is storage-agnostic."""
+    try:
+        return spark.read.format("iceberg").load(source)
+    except Exception:
+        return spark.read.parquet(source)
+
+
 # --- S8/S9: versioned prepared-table management (cache_manager parity) -----
 
 def prepared_path(base_dir: str | Path, label: str, version: str) -> Path:
