@@ -85,11 +85,39 @@ def bng2latlon(spark, args):
     _write(out, args.outfile)
 
 
+def geocode_pages(spark, args):
+    """North-star pipeline as a resumable job: pages -> extract -> geocode
+    -> LLSOA+GSP, executed bucket-by-bucket with per-partition lineage
+    manifests (plans/lineage.py). Re-running after an interruption skips
+    committed buckets; output is overwrite-idempotent."""
+    from .operators.forward_geocode import prepare_cpo
+    from .operators.pipeline import geocode_documents
+    from .plans.lineage import run_with_lineage
+    from .regions import load_prepared
+    from .sources.loaders import read_pages
+
+    pages = read_pages(spark, args.infile)
+    cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
+    llsoa = load_prepared("llsoa", args.prepared)
+    gsp = load_prepared("gsp", args.prepared)
+    results = run_with_lineage(
+        pages, args.outfile, key_col="url",
+        transform=lambda df: geocode_documents(df, cpo, llsoa, gsp),
+        n_buckets=args.buckets, snapshot_id=args.snapshot,
+        operator_version="1")
+    done = sum(1 for r in results if not r.skipped)
+    skipped = sum(1 for r in results if r.skipped)
+    rows = sum(r.rows for r in results)
+    print(f"geocode_pages: {rows} rows, {done} buckets computed, "
+          f"{skipped} resumed from lineage")
+
+
 JOBS = {
     "latlons2llsoa": latlons2llsoa,
     "latlons2gsp": latlons2gsp,
     "postcodes2latlon": postcodes2latlon,
     "bng2latlon": bng2latlon,
+    "geocode_pages": geocode_pages,
 }
 
 
@@ -101,6 +129,8 @@ def main(argv=None):
     p.add_argument("--prepared", default="/root/repo/fixtures/prepared")
     p.add_argument("--fixtures", default="/root/repo/fixtures")
     p.add_argument("--datazones", action="store_true")
+    p.add_argument("--buckets", type=int, default=8)
+    p.add_argument("--snapshot", default="snapshot-0")
     args = p.parse_args(argv)
 
     from .session import get_spark

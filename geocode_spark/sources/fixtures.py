@@ -92,17 +92,21 @@ def build_cpo() -> pd.DataFrame:
     for pc, (lat, lon) in GOLDEN_POSTCODES.items():
         e, n = latlon_to_bng(np.array([lat]), np.array([lon]))
         rows.append((pc.replace(" ", "").upper(), 10, int(round(e[0])), int(round(n[0]))))
-    # synthetic neighbourhoods: 40 postcodes per outward across 5 outwards
-    outwards = ["AB1", "CD2", "EF3", "GH4", "ZZ9"]
-    base = {"AB1": (57.14, -2.10), "CD2": (52.20, 0.12), "EF3": (55.95, -3.19),
-            "GH4": (53.48, -2.24), "ZZ9": (51.50, -0.12)}
+    # synthetic neighbourhoods: 40 postcodes per outward; LS1/WG1 sit inside
+    # fixture LLSOA squares and GS1 inside the BRED_1 GSP square so the
+    # document pipeline's spatial-join stage produces positive assignments
+    base = {"AB1": (57.14, -2.10, 0.01), "CD2": (52.20, 0.12, 0.01),
+            "EF3": (55.95, -3.19, 0.01), "GH4": (53.48, -2.24, 0.01),
+            "ZZ9": (51.50, -0.12, 0.01),
+            "LS1": (54.52, -1.195, 0.004),   # inside E01012082
+            "WG1": (53.205, -3.13, 0.004),   # inside W01000323
+            "GS1": (53.35, -2.05, 0.01)}     # inside GSP BRED_1
     letters = "ABDEFGHJLNPQRSTUWXYZ"
-    for ow in outwards:
-        lat0, lon0 = base[ow]
+    for ow, (lat0, lon0, jit) in base.items():
         for i in range(40):
             inward = f"{i % 10}{letters[i % 20]}{letters[(i * 7) % 20]}"
-            dlat = (rng.random() - 0.5) * 0.02
-            dlon = (rng.random() - 0.5) * 0.02
+            dlat = (rng.random() - 0.5) * 2 * jit
+            dlon = (rng.random() - 0.5) * 2 * jit
             e, n = latlon_to_bng(np.array([lat0 + dlat]), np.array([lon0 + dlon]))
             rows.append((f"{ow}{inward}", 10, int(round(e[0])), int(round(n[0]))))
     # duplicate-unit postcode: same code twice with different E/N (nanmean case)
