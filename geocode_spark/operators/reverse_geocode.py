@@ -153,12 +153,22 @@ def reverse_geocode(
     max_distance: float | None = None,
     strategy: str = "fused",
     keep_cell: bool = False,
+    output_cols: list[str] | None = None,
+    salt_partitions: int | None = None,
 ) -> DataFrame:
     """Assign each point row the containing region's id (NULL if none).
 
-    All input columns pass through; adds ``out_col`` (and ``cell_id`` when
-    ``keep_cell``). Equivalent of utilities.reverse_geocode + the dataset
-    adapters' rename (ons_nrs.py:384, neso.py:298, eurostat.py:151).
+    All input columns pass through (or only ``output_cols`` when given —
+    trims the Arrow return path, which matters when the caller only needs
+    the assignment); adds ``out_col`` (and ``cell_id`` when ``keep_cell``).
+    Equivalent of utilities.reverse_geocode + the dataset adapters' rename
+    (ons_nrs.py:384, neso.py:298, eurostat.py:151).
+
+    ``salt_partitions``: pre-repartition the points on a salted hash — use
+    when the upstream partitioning is spatially clustered (e.g. a crawl
+    sharded by site puts all of London in a few partitions). The fused path
+    has no shuffle of its own, so skew only enters through input layout;
+    salting rebalances it at the cost of one explicit shuffle.
     """
     spark = points.sparkSession
     sc = spark.sparkContext
@@ -166,12 +176,24 @@ def reverse_geocode(
     b_geoms = sc.broadcast(prep.geoms)
     res = prep.res
 
+    if salt_partitions:
+        import pyspark.sql.functions as _F
+
+        points = points.repartition(
+            salt_partitions,
+            _F.pmod(_F.xxhash64(_F.col(lat_col), _F.col(lon_col),
+                                _F.monotonically_increasing_id()),
+                    _F.lit(salt_partitions)))
+
     if strategy == "fused":
-        out_fields = points.schema.fields + [StructField(out_col, StringType())]
+        keep_fields = (points.schema.fields if output_cols is None else
+                       [f for f in points.schema.fields
+                        if f.name in output_cols])
+        out_fields = keep_fields + [StructField(out_col, StringType())]
         if keep_cell:
             out_fields = out_fields + [StructField("cell_id", LongType())]
         out_schema = StructType(out_fields)
-        in_cols = [f.name for f in points.schema.fields]
+        in_cols = [f.name for f in keep_fields]
 
         meta = (prep.name, prep.res, prep.crs)
 
