@@ -125,6 +125,17 @@ def q_reverse_geocode_llsoa_dz(spark, sf_dir):
     return datazone_relabel(out, dz).select("row_id", "region_id")
 
 
+def q_reverse_geocode_dno(spark, sf_dir):
+    """DNO regions OVERLAP (London inside East's bbox): exercises the
+    keep-first boundary-tie semantics (A3) against the oracle, which
+    replicates GeoPandas keep-first as min(region_seq)."""
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/dno_regions.parquet", 3)
+    return reverse_geocode(pts, _prep("dno"), out_col="dno") \
+        .select("row_id", "dno")
+
+
 def q_cell_index(spark, sf_dir):
     from geocode_spark.functions.udfs import cell_ij_udf
 
@@ -403,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode_gsp": q_reverse_geocode_gsp,
         "reverse_geocode_nuts3": q_reverse_geocode_nuts3,
         "reverse_geocode_llsoa_dz": q_reverse_geocode_llsoa_dz,
+        "reverse_geocode_dno": q_reverse_geocode_dno,
         "cell_index": q_cell_index,
         "extract_postcodes": q_extract_postcodes,
         "forward_geocode": q_forward_geocode,
@@ -458,6 +470,18 @@ LEFT JOIN sq r ON c.longitude > r.xmin AND c.longitude < r.xmax
         "c.row_id, coalesce(dz.datazone, r.region_id) AS region_id",
         f"LEFT JOIN read_parquet('{FIX}/datazone_lookup.parquet') dz "
         "ON dz.llsoa_code = r.region_id")
+
+    sql["reverse_geocode_dno"] = f"""
+WITH {_points_sql(f"{FIX}/dno_regions.parquet", 3)},
+matched AS (
+  SELECT c.row_id, r.region_id, r.region_seq,
+         row_number() OVER (PARTITION BY c.row_id ORDER BY r.region_seq) AS rn
+  FROM coords c
+  JOIN sq r ON c.longitude > r.xmin AND c.longitude < r.xmax
+           AND c.latitude > r.ymin AND c.latitude < r.ymax)
+SELECT c.row_id, m.region_id AS dno
+FROM coords c LEFT JOIN matched m ON m.row_id = c.row_id AND m.rn = 1
+"""
 
     sql["cell_index"] = f"""
 WITH {_points_sql(f"{FIX}/llsoa_regions.parquet", 6)}

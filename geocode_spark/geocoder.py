@@ -123,18 +123,46 @@ class GeocoderSpark:
 
     # --- reverse geocode ----------------------------------------------------
 
+    def _prep_versioned(self, label: str, version: str | None):
+        """Versioned prepared set (gsp_20260209 etc.), falling back to the
+        unversioned artifact when no vintage is materialized."""
+        if version is not None:
+            try:
+                return self._prep(f"{label}_{version}")
+            except FileNotFoundError:
+                pass
+        return self._prep(label)
+
     def reverse_geocode_llsoa(self, latlons: DataFrame, dz: bool = False,
+                              year: str = "2021",
                               out_col: str = "llsoa") -> DataFrame:
-        out = reverse_geocode(latlons, self._prep("llsoa"), out_col=out_col)
+        """Default vintage 2021 (geocode.py:301)."""
+        out = reverse_geocode(latlons, self._prep_versioned("llsoa", year),
+                              out_col=out_col)
         if dz:
             out = datazone_relabel(out,
                                    self._table("datazone_lookup.parquet"),
                                    region_col=out_col)
         return out
 
-    def reverse_geocode_gsp(self, latlons: DataFrame) -> DataFrame:
-        """(gsp, gsp_group) pair output parity (utilities.py:286-289)."""
-        prep = self._prep("gsp")
+    def reverse_geocode_dno(self, latlons: DataFrame,
+                            out_col: str = "dno") -> DataFrame:
+        """DNO licence-area assignment (neso.py:218-267 boundaries; bbox
+        prefilter P6 happens inside the PIP kernel)."""
+        prep = self._prep("dno")
+        out = reverse_geocode(latlons, prep, out_col=out_col)
+        if prep.attrs is not None:
+            attrs = self.spark.createDataFrame(prep.attrs).select(
+                F.col("region_id").alias(out_col),
+                F.col("Name").alias("dno_name"))
+            out = out.join(F.broadcast(attrs), out_col, "left")
+        return out
+
+    def reverse_geocode_gsp(self, latlons: DataFrame,
+                            version: str = "20260209") -> DataFrame:
+        """(gsp, gsp_group) pair output parity (utilities.py:286-289);
+        default version 20260209 (geocode.py:298)."""
+        prep = self._prep_versioned("gsp", version)
         out = reverse_geocode(latlons, prep, out_col="gsp")
         if prep.attrs is not None:
             attrs = self.spark.createDataFrame(prep.attrs).select(
@@ -155,6 +183,7 @@ class GeocoderSpark:
             "llsoa": self.reverse_geocode_llsoa,
             "gsp": self.reverse_geocode_gsp,
             "nuts": self.reverse_geocode_nuts,
+            "dno": self.reverse_geocode_dno,
         }
         if entity not in dispatch:
             raise ValueError(f"The entity '{entity}' is not supported")

@@ -301,6 +301,13 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     for level in range(4):
         flat(nuts_records(level)).to_parquet(base / f"nuts_regions_l{level}.parquet", index=False)
 
+    # DNO licence areas (neso.py:218-267): polygons + bbox columns (P6)
+    dno_records = [
+        {"region_id": "10", "Name": "UKPN East", "rings": _square(0.0, 51.5, 1.5, 53.0)},
+        {"region_id": "12", "Name": "UKPN London", "rings": _square(-0.6, 51.2, 0.4, 51.8)},
+    ]
+    flat(dno_records, ("Name",)).to_parquet(base / "dno_regions.parquet", index=False)
+
     complex_recs = complex_region_records()
     flat_rows = []
     for seq, rec in enumerate(complex_recs):
@@ -316,6 +323,15 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     # shortcut), boundary cells carry the exact 400-edge ray-cast
     save_prepared(prepare_regions(complex_recs, "complex", res=13), prep_dir)
     save_prepared(prepare_regions(LLSOA_RECORDS, "llsoa"), prep_dir)
+    save_prepared(prepare_regions(dno_records, "dno", attrs_cols=["Name"]),
+                  prep_dir)
+    # versioned vintages exactly as the reference's mocked setup writes them
+    # (Tests/test_geocode.py:79-80,143-146): same geometry per version
+    for version in ["20220314", "20250109", "20251204", "20260209"]:
+        save_prepared(prepare_regions(GSP_RECORDS, f"gsp_{version}",
+                                      attrs_cols=["GSPs", "GSPGroup"]), prep_dir)
+    for version in ["2011", "2021"]:
+        save_prepared(prepare_regions(LLSOA_RECORDS, f"llsoa_{version}"), prep_dir)
     save_prepared(prepare_regions(GSP_RECORDS, "gsp", attrs_cols=["GSPs", "GSPGroup"]),
                   prep_dir)
     for level in range(4):

@@ -73,6 +73,34 @@ def test_dispatchers_and_errors(geo, spark):
         geo.reverse_geocode_nuts(df, level=7)
 
 
+def test_reverse_geocode_gsp_versions(geo):
+    # Tests/test_geocode.py:226-231: identical results for both versions
+    latlons = [(53.33985, -2.051880), (55.950095, -3.178485)]
+    df_rows = lambda version: geo.reverse_geocode_gsp(
+        geo.spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(latlons)],
+            "row_id long, latitude double, longitude double"),
+        version=version).orderBy("row_id").collect()
+    for v in ("20220314", "20250109", "20260209"):
+        assert [(r.gsp, r.gsp_group) for r in df_rows(v)] == [
+            ("BRED_1", "_G"), ("DEWP", "_N")]
+
+
+def test_reverse_geocode_dno_overlap_keep_first(geo, spark):
+    df = spark.createDataFrame(
+        [(0, 51.6, 0.2),    # inside BOTH East and London -> keep-first "10"
+         (1, 51.3, -0.4),   # London only -> "12"
+         (2, 52.5, 1.0),    # East only -> "10"
+         (3, 40.0, 10.0)],  # neither
+        "row_id long, latitude double, longitude double")
+    got = {r.row_id: (r.dno, r.dno_name)
+           for r in geo.reverse_geocode_dno(df).collect()}
+    assert got[0] == ("10", "UKPN East")
+    assert got[1] == ("12", "UKPN London")
+    assert got[2] == ("10", "UKPN East")
+    assert got[3] == (None, None)
+
+
 def test_crs_roundtrip_df(geo, spark):
     df = spark.createDataFrame([(0, 51.5074, -0.1278)],
                                "row_id long, latitude double, longitude double")
