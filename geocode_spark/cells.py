@@ -118,8 +118,7 @@ def kring_shell(cell: int, k: int) -> np.ndarray:
 def pick_resolution(bbox_w: float, bbox_h: float, target_cells_across: int = 8) -> int:
     """Resolution where the polygon bbox spans ~target_cells_across cells."""
     span = max(bbox_w / 360.0, bbox_h / 180.0, 1e-15)
-    res = int(np.floor(np.log2(target_cells_across / span) / 1.0))
-    # log2(1/span) gives 1-cell-across; add bits for target
+    # log2(1/span) puts the bbox one cell across; add bits for the target
     res = int(np.floor(np.log2(1.0 / span))) + int(np.ceil(np.log2(target_cells_across)))
     return max(0, min(MAX_RES, res))
 

@@ -43,12 +43,18 @@ def _hash_family(n: int, seed: int = 42):
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Rolling 64-bit hashes of the k-character shingles of text."""
-    if not text or len(text) < k:
-        return np.zeros(1, dtype=np.uint64)
-    b = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    """Rolling 64-bit hashes of the k-character shingles of text.
+
+    Texts shorter than one shingle hash as a single whole-text shingle —
+    identical short texts still collide (and dedup), but distinct short
+    texts get distinct signatures instead of one global constant bucket."""
+    b = np.frombuffer((text or "").encode("utf-8", "ignore"), dtype=np.uint8)
     if len(b) < k:
-        return np.zeros(1, dtype=np.uint64)
+        P = np.uint64(1099511628211)
+        h = np.uint64(0xCBF29CE484222325)
+        for byte in b:
+            h = (h ^ np.uint64(byte)) * P
+        return np.asarray([h], dtype=np.uint64)
     # polynomial rolling hash over a sliding window, fully vectorized:
     # h[i] = sum_{j<k} b[i+j] * P^(k-1-j)  (mod 2^64)
     P = np.uint64(1099511628211)  # FNV prime
@@ -60,21 +66,26 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
-    """Keep one representative (min id) per byte-identical text. One shuffle
-    on the 64-bit fingerprint — never on the raw text bytes."""
+    """Keep one representative (min id) per byte-identical text. The window
+    partitions on (64-bit fingerprint, text): the hash narrows the shuffle
+    comparison, the text keeps the semantics exact — at 10^12 docs pure
+    64-bit grouping WOULD birthday-collide and silently drop documents."""
     h = F.xxhash64(F.col(text_col))
-    w = Window.partitionBy(h).orderBy(F.col(id_col))
+    w = Window.partitionBy(h, F.col(text_col)).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
 
 
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(fingerprint, n_docs, min_id) for every duplicated text group."""
+    """(fingerprint, n_docs, min_id) for every duplicated text group.
+    Grouping includes the text itself (exactness; see exact_dedup)."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("fingerprint"))
+        df.groupBy(F.xxhash64(F.col(text_col)).alias("fingerprint"),
+                   F.col(text_col))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)
+        .drop(text_col)
     )
 
 
@@ -100,7 +111,8 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                         bands: int = 16, rows_per_band: int = 4,
-                        max_bucket_size: int | None = None) -> DataFrame:
+                        max_bucket_size: int | None = None,
+                        sig_len: int | None = None) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, emit candidate pairs
     (a < b). Shuffle key = (band, band_hash) — uniform by construction.
 
@@ -108,7 +120,17 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     dropped before the self-join (pair blowup per bucket is quadratic; a
     boilerplate-heavy web corpus can put millions of near-identical docs in
     one bucket — the standard practice is to drop or sub-sample stop-buckets
-    and let the remaining bands recover the pairs)."""
+    and let the remaining bands recover the pairs).
+
+    ``sig_len``, when given, validates that the banding actually covers real
+    signature positions — slicing past the end of the signature array would
+    give every document an identical empty-band hash (a corpus-wide bucket
+    and an O(n^2) join)."""
+    if sig_len is not None and bands * rows_per_band > sig_len:
+        raise ValueError(
+            f"bands({bands}) * rows_per_band({rows_per_band}) exceeds the "
+            f"signature length {sig_len}: out-of-range bands hash every "
+            "document into one bucket")
     assert bands * rows_per_band <= 1024
     banded = sigs.select(
         F.col(id_col),
@@ -154,7 +176,7 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                               num_hashes, shingle_k).select(id_col, "signature")
     sigs = sigs.persist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
-                               max_bucket_size)
+                               max_bucket_size, sig_len=num_hashes)
     sl = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sr = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = (

@@ -94,7 +94,7 @@ def _resolve_pip(cand: pd.DataFrame, geoms: dict) -> pd.DataFrame:
 
 def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
                   prep: PreparedRegions, max_distance: float,
-                  max_k: int = 8) -> pd.DataFrame:
+                  max_k: int | None = None) -> pd.DataFrame:
     """Ring-expansion bounded nearest-region (sjoin_nearest semantics,
     utilities.py:270-284). Distance unit = degrees (prep space).
 
@@ -110,8 +110,14 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
     out_dist = np.full(len(miss_pos), np.inf)
     _, ci, cj = cell_to_ij(cell_of(py, px, res))
     unresolved = np.arange(len(miss_pos))
-    # cell size in degrees (lat step is half the lon step on this grid)
-    cell_deg = 360.0 / float(n)
+    # conservative per-ring guarantee radius uses the SMALLER (lat) step
+    cell_deg = 180.0 / float(n)
+    if max_k is None:
+        # enough rings that safe_radius(max_k) >= max_distance: a region
+        # inside the bound can never be missed by early exhaustion
+        # (sjoin_nearest(max_distance) parity, utilities.py:277-283)
+        max_k = int(np.ceil(2.0 * max_distance / cell_deg + 0.5)) + 1
+        max_k = min(max(max_k, 1), 4096)
     cover_small = cover[["cell", "region_id"]].drop_duplicates()
     for k in range(1, max_k + 1):
         if len(unresolved) == 0:
@@ -177,13 +183,14 @@ def reverse_geocode(
     res = prep.res
 
     if salt_partitions:
-        import pyspark.sql.functions as _F
-
+        # deterministic salt key only: a nondeterministic component (e.g.
+        # monotonically_increasing_id) would re-route rows differently when
+        # a stage is recomputed after shuffle-fetch failure, duplicating or
+        # dropping rows (the SPARK-23207 failure class)
         points = points.repartition(
             salt_partitions,
-            _F.pmod(_F.xxhash64(_F.col(lat_col), _F.col(lon_col),
-                                _F.monotonically_increasing_id()),
-                    _F.lit(salt_partitions)))
+            F.pmod(F.xxhash64(F.col(lat_col), F.col(lon_col)),
+                   F.lit(salt_partitions)))
 
     if strategy == "fused":
         keep_fields = (points.schema.fields if output_cols is None else
@@ -230,6 +237,11 @@ def reverse_geocode(
         return points.mapInPandas(run, schema=out_schema)
 
     if strategy == "join":
+        if max_distance is not None or output_cols is not None:
+            raise ValueError(
+                "strategy='join' does not support max_distance/output_cols "
+                "yet — use the default fused strategy (silently ignoring "
+                "them would change assignments between strategies)")
         return _reverse_geocode_join(points, prep, lat_col, lon_col, out_col,
                                      keep_cell)
     raise ValueError(f"unknown strategy {strategy!r}")

@@ -89,9 +89,13 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     the standard recall lift that costs query-side fanout only; the corpus
     is still touched once per (bucket, query) candidate group. Recall is
     tunable via ``bits`` (fewer = bigger buckets) and ``hamming_probes``."""
+    if hamming_probes not in (0, 1):
+        raise ValueError(
+            "hamming_probes supports 0 (own bucket) or 1 (plus all "
+            "single-bit-flip buckets); higher radii are not implemented")
     cb = lsh_buckets(corpus, dim, bits, vec_col, seed)
     qb = lsh_buckets(queries, dim, bits, vec_col, seed)
-    if hamming_probes >= 1:
+    if hamming_probes == 1:
         flips = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
         qb = qb.withColumn("bucket", F.explode(F.array(*flips)))

@@ -32,7 +32,10 @@ def geocode_pages_stream(pages_stream: DataFrame, cpo: DataFrame,
     """
     def process(batch_df: DataFrame, batch_id: int):
         out = geocode_documents(batch_df, cpo, llsoa_prep, gsp_prep)
-        out.write.mode("append").parquet(output_dir)
+        # batch_id-keyed overwrite: a micro-batch replayed after a crash
+        # rewrites its own directory instead of appending duplicates —
+        # this, not the checkpoint alone, is what makes the sink idempotent
+        out.write.mode("overwrite").parquet(f"{output_dir}/batch={batch_id}")
 
     writer = (pages_stream.writeStream
               .foreachBatch(process)

@@ -55,9 +55,7 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800,
             }])
             return
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
-        ts_us = rows[ts_col].astype("int64") // 1000 * 1000 \
-            if rows[ts_col].dtype.kind == "M" else rows[ts_col].astype("int64")
-        ts_us = (rows[ts_col].astype("datetime64[us]").astype("int64"))
+        ts_us = rows[ts_col].astype("datetime64[us]").astype("int64")
         vals = rows[value_col].astype(float).to_numpy()
         if state.exists:
             start_us, last_us, n, total = state.get
