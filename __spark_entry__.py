@@ -268,6 +268,20 @@ def q_exact_dup_groups(spark, sf_dir):
             .select("min_url", "n_docs"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Connected components over exact-dup pairs (iterative label
+    propagation — the non-SQL-native op the DuckDB oracle reproduces with a
+    recursive CTE)."""
+    from geocode_spark.operators.dedup import dup_clusters
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet")
+    l = pages.select(F.col("url").alias("id_a"), F.col("text").alias("__t"))
+    r = pages.select(F.col("url").alias("id_b"), F.col("text").alias("__t"))
+    pairs = (l.join(r, "__t").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+    return dup_clusters(pages.select("url"), pairs, id_col="url")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from geocode_spark.operators.dedup import ngram_jaccard_all_pairs
 
@@ -426,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gsp_expand": q_gsp_expand,
         "exact_dedup": q_exact_dedup,
         "exact_dup_groups": q_exact_dup_groups,
+        "dup_clusters": q_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -585,6 +600,20 @@ SELECT url FROM (
     sql["exact_dup_groups"] = f"""
 SELECT min(url) AS min_url, count(*) AS n_docs
 FROM {pages} GROUP BY text HAVING count(*) > 1
+"""
+
+    sql["dup_clusters"] = f"""
+WITH RECURSIVE
+p AS (SELECT url, text FROM {pages}),
+e0 AS (
+  SELECT a.url AS ua, b.url AS ub
+  FROM p a JOIN p b ON a.text = b.text AND a.url < b.url),
+edges AS (SELECT ua, ub FROM e0 UNION SELECT ub AS ua, ua AS ub FROM e0),
+reach(u, lab) AS (
+  SELECT url, url FROM p
+  UNION
+  SELECT e.ub, r.lab FROM reach r JOIN edges e ON e.ua = r.u)
+SELECT u AS url, min(lab) AS cluster_id FROM reach GROUP BY u
 """
 
     sql["ngram_jaccard"] = r"""

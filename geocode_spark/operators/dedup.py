@@ -325,6 +325,46 @@ def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                 max_iters: int = 20) -> DataFrame:
+    """Connected components over duplicate pairs: every node gets
+    ``cluster_id`` = min id reachable through pair edges (its own id when
+    unpaired). The representative-per-cluster is then ``id == cluster_id``.
+
+    Iterative min-label propagation (driver loop, each step pure DataFrame
+    ops): label'(v) = min(label(v), min over neighbours u of label(u)).
+    Converges in O(cluster diameter) rounds — near-dup clusters in web
+    corpora are shallow (boilerplate stars), so a handful of rounds; each
+    round is one shuffle keyed by node id. Results persisted per round so
+    lineage doesn't grow exponentially."""
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
+        .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                  F.col("id_a").alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("src"),
+                          F.col(id_col).alias("label")).persist()
+    labels.count()
+    for _ in range(max_iters):
+        # neighbour labels: for each dst, min label among its srcs
+        nbr = (sym.join(labels, "src")
+               .groupBy(F.col("dst").alias("src"))
+               .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr, "src", "left")
+                      .select("src",
+                              F.least(F.col("label"),
+                                      F.coalesce("nbr_label", "label"))
+                              .alias("label"))).persist()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "src")
+                   .filter(F.col("n.label") != F.col("o.label")).count())
+        labels.unpersist()
+        labels = new_labels
+        labels.count()
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            threshold: float = 0.95) -> DataFrame:
