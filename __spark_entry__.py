@@ -405,6 +405,18 @@ def q_top_orders_window(spark, sf_dir):
             .select("o_custkey", "o_orderkey", "rnk"))
 
 
+def q_set_ops(spark, sf_dir):
+    """intersect/except coverage: customers with orders in BOTH priority
+    groups minus those with any high-value order."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return urgent.intersect(low).exceptAll(big.distinct()) \
+        .select(F.col("o_custkey").alias("custkey"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -454,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_nation": q_orders_by_nation,
         "top_orders_window": q_top_orders_window,
         "events_hourly": q_events_hourly,
+        "set_ops": q_set_ops,
     }
 
 
@@ -739,6 +752,15 @@ SELECT o_custkey, o_orderkey, rnk FROM (
          row_number() OVER (PARTITION BY o_custkey
                             ORDER BY o_totalprice DESC, o_orderkey) AS rnk
   FROM orders) WHERE rnk <= 3
+"""
+
+    sql["set_ops"] = """
+SELECT o_custkey AS custkey FROM (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+EXCEPT ALL
+SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
 """
 
     sql["events_hourly"] = """
