@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 
 import pyspark.sql.functions as F
 
@@ -112,12 +113,33 @@ def geocode_pages(spark, args):
           f"{skipped} resumed from lineage")
 
 
+def prepare_regions_job(spark, args):
+    """One-time prep: GeoJSON FeatureCollection -> prepared region artifacts
+    (rings + bbox + covering-cell map) under --prepared/<name>. The runtime
+    jobs then just load + broadcast (cache_manager prep analogue)."""
+    import json as _json
+
+    from .regions import prepare_regions, save_prepared
+    from .sources.loaders import geojson_to_records
+
+    fc = _json.loads(Path(args.infile).read_text())
+    extra = tuple(args.attrs.split(",")) if args.attrs else ()
+    records = geojson_to_records(fc, args.id_property, extra)
+    prep = prepare_regions(records, args.name, crs=args.crs,
+                           attrs_cols=list(extra) or None)
+    save_prepared(prep, args.prepared)
+    print(f"prepared '{args.name}': {prep.n_regions} regions, res {prep.res}, "
+          f"{len(prep.cover)} covering cells "
+          f"({prep.cover.interior.mean():.0%} interior)")
+
+
 JOBS = {
     "latlons2llsoa": latlons2llsoa,
     "latlons2gsp": latlons2gsp,
     "postcodes2latlon": postcodes2latlon,
     "bng2latlon": bng2latlon,
     "geocode_pages": geocode_pages,
+    "prepare_regions": prepare_regions_job,
 }
 
 
@@ -131,6 +153,10 @@ def main(argv=None):
     p.add_argument("--datazones", action="store_true")
     p.add_argument("--buckets", type=int, default=8)
     p.add_argument("--snapshot", default="snapshot-0")
+    p.add_argument("--name", default="regions")
+    p.add_argument("--id-property", dest="id_property", default="region_id")
+    p.add_argument("--attrs", default="")
+    p.add_argument("--crs", default="EPSG:4326")
     args = p.parse_args(argv)
 
     from .session import get_spark
