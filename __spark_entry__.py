@@ -136,6 +136,112 @@ def q_reverse_geocode_dno(spark, sf_dir):
         .select("row_id", "dno")
 
 
+def q_reverse_geocode_knn(spark, sf_dir):
+    """J5 bounded-kNN fallback with METRE semantics (utilities.py:253-284:
+    max_distance is in the regions' CRS units — metres for BNG data). Points
+    sit strictly EAST of their LLSOA square at 1-23 km, so every row takes
+    the ring-expansion nearest path; threshold 15 km splits matched/NULL.
+    Oracle: exact point-to-box distance with the identical equirectangular
+    constant (geometry.METERS_PER_DEG = 111320)."""
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sq = spark.read.parquet(f"{FIX}/llsoa_regions.parquet").select(
+        "region_seq", "xmin", "ymin", "xmax", "ymax")
+    pts = events.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 5).alias("sqi"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 211) * F.lit(1.0) / F.lit(211.0))).alias("fx"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 199) * F.lit(1.0) / F.lit(199.0))).alias("fy"),
+    )
+    j = pts.join(F.broadcast(sq), pts["sqi"] == sq["region_seq"], "left")
+    coords = j.select(
+        "row_id",
+        (F.col("ymin") + F.col("fy") * (F.col("ymax") - F.col("ymin"))).alias("latitude"),
+        (F.col("xmax") + F.lit(0.001) + F.col("fx") * F.lit(0.35)).alias("longitude"),
+    )
+    out = reverse_geocode(coords, _prep("llsoa"), max_distance=15000.0,
+                          distance_unit="m", keep_distance=True)
+    return out.select("row_id", "region_id",
+                      F.round("knn_dist", 1).alias("knn_dist"))
+
+
+def q_reverse_geocode_nuts3_2021(spark, sf_dir):
+    """NUTS year-vintage routing (eurostat.py:117-121): same points, 2021
+    regulation tables."""
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/nuts_regions_l3_2021.parquet", 4)
+    return reverse_geocode(pts, _prep("nuts_l3_2021")).select(
+        "row_id", "region_id")
+
+
+def q_reverse_geocode_nuts3_2016(spark, sf_dir):
+    """Same input points as the 2021 query (derived from the 2021 squares),
+    assigned against the SMALLER 2016 vintage: points near a 2021 boundary
+    come back NULL — year routing is observable, not a no-op."""
+    from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+    pts = _points(spark, sf_dir, f"{FIX}/nuts_regions_l3_2021.parquet", 4)
+    return reverse_geocode(pts, _prep("nuts_l3_2016")).select(
+        "row_id", "region_id")
+
+
+def q_reverse_geocode_gsp_20181031(spark, sf_dir):
+    """20181031 GSP vintage end-to-end (neso.py:303-343): points generated
+    in BNG space inside EPSG:27700 fixture squares, converted E/N -> lat/lon
+    by the engine's own CRS kernel, reverse-geocoded against the
+    crs='EPSG:27700'-prepared vintage, expanded through the many:many
+    Region<->GSP<->GNode lookup (neso.py:61-95). The oracle never leaves BNG
+    space — an independent check of the whole BNG prep branch."""
+    from geocode_spark.geocoder import GeocoderSpark
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sq = spark.read.parquet(f"{FIX}/gsp_regions_20181031_bng.parquet").select(
+        "region_seq", "xmin", "ymin", "xmax", "ymax")
+    pts = events.select(
+        F.col("event_id").alias("row_id"),
+        (F.col("event_id") % 3).alias("sqi"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 211) * F.lit(1.0) / F.lit(211.0))).alias("fx"),
+        (F.lit(0.05) + F.lit(0.9) * ((F.col("event_id") % 199) * F.lit(1.0) / F.lit(199.0))).alias("fy"),
+    )
+    j = pts.join(F.broadcast(sq), pts["sqi"] == sq["region_seq"], "left")
+    en = j.select(
+        "row_id",
+        F.when(F.col("sqi") == 2, F.lit(650000.0) + F.col("fx") * F.lit(1000.0))
+         .otherwise(F.col("xmin") + F.col("fx") * (F.col("xmax") - F.col("xmin")))
+         .alias("easting"),
+        F.when(F.col("sqi") == 2, F.lit(1150000.0) + F.col("fy") * F.lit(1000.0))
+         .otherwise(F.col("ymin") + F.col("fy") * (F.col("ymax") - F.col("ymin")))
+         .alias("northing"),
+    )
+    g = GeocoderSpark(spark)
+    ll = g.bng2latlon(en, "easting", "northing")
+    out = g.reverse_geocode_gsp_20181031(
+        ll.select("row_id", "latitude", "longitude"))
+    return out.select("row_id", "gsp", "gsp_name", "gnode")
+
+
+def q_latlon2bng(spark, sf_dir):
+    """F6 CRS kernel oracled directly on bulk data: synthetic UK-range
+    lat/lon grid -> National Grid E/N, vs an independent DuckDB
+    transcription of the same published OS forward formulas (crs.py
+    implements them in numpy; both sides use fixed 8-step geodetic
+    iteration). Compared at 0.1 m."""
+    from geocode_spark.geocoder import GeocoderSpark
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = events.select(
+        F.col("event_id").alias("row_id"),
+        (F.lit(50.0) + (F.col("event_id") % 1000) * F.lit(8.0) / F.lit(1000.0)).alias("latitude"),
+        (F.lit(-6.0) + (F.col("event_id") % 997) * F.lit(7.0) / F.lit(997.0)).alias("longitude"),
+    )
+    out = GeocoderSpark(spark).latlon2bng(pts)
+    return out.select("row_id",
+                      F.round("eastings", 1).alias("eastings"),
+                      F.round("northings", 1).alias("northings"))
+
+
 def q_cell_index(spark, sf_dir):
     from geocode_spark.functions.udfs import cell_ij_udf
 
@@ -441,6 +547,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode_nuts3": q_reverse_geocode_nuts3,
         "reverse_geocode_llsoa_dz": q_reverse_geocode_llsoa_dz,
         "reverse_geocode_dno": q_reverse_geocode_dno,
+        "reverse_geocode_knn": q_reverse_geocode_knn,
+        "reverse_geocode_nuts3_2021": q_reverse_geocode_nuts3_2021,
+        "reverse_geocode_nuts3_2016": q_reverse_geocode_nuts3_2016,
+        "reverse_geocode_gsp_20181031": q_reverse_geocode_gsp_20181031,
+        "latlon2bng": q_latlon2bng,
         "cell_index": q_cell_index,
         "extract_postcodes": q_extract_postcodes,
         "forward_geocode": q_forward_geocode,
@@ -509,6 +620,161 @@ matched AS (
            AND c.latitude > r.ymin AND c.latitude < r.ymax)
 SELECT c.row_id, m.region_id AS dno
 FROM coords c LEFT JOIN matched m ON m.row_id = c.row_id AND m.rn = 1
+"""
+
+    # J5 metre-unit bounded kNN: exact point-to-box distance with the same
+    # METERS_PER_DEG constant and cos(lat) x-scaling the engine kernel uses
+    # (geometry.dist_to_polygon_m). Points are strictly east of their box so
+    # the nearest feature is the right edge: both sides compute
+    # sqrt((cos(lat)*(lon-xmax))^2) * 111320 over identical IEEE inputs.
+    sql["reverse_geocode_knn"] = f"""
+WITH pts AS (
+  SELECT event_id AS row_id, event_id % 5 AS sqi,
+         0.05 + 0.9 * ((event_id % 211) * 1.0 / 211.0) AS fx,
+         0.05 + 0.9 * ((event_id % 199) * 1.0 / 199.0) AS fy
+  FROM events),
+sq AS (SELECT * FROM read_parquet('{FIX}/llsoa_regions.parquet')),
+coords AS (
+  SELECT p.row_id,
+         s.ymin + p.fy * (s.ymax - s.ymin) AS latitude,
+         s.xmax + 0.001 + p.fx * 0.35 AS longitude
+  FROM pts p LEFT JOIN sq s ON s.region_seq = p.sqi),
+gaps AS (
+  SELECT c.row_id, r.region_id,
+         cos(radians(c.latitude))
+           * greatest(r.xmin - c.longitude, c.longitude - r.xmax, 0.0) AS gx,
+         greatest(r.ymin - c.latitude, c.latitude - r.ymax, 0.0) AS gy
+  FROM coords c CROSS JOIN sq r),
+dists AS (
+  SELECT row_id, region_id, sqrt(gx * gx + gy * gy) * 111320.0 AS dist,
+         row_number() OVER (PARTITION BY row_id
+                            ORDER BY sqrt(gx * gx + gy * gy) * 111320.0,
+                                     region_id) AS rn
+  FROM gaps),
+best AS (SELECT row_id, region_id, dist FROM dists
+         WHERE rn = 1 AND dist <= 15000.0)
+SELECT c.row_id, b.region_id, round(b.dist, 1) AS knn_dist
+FROM coords c LEFT JOIN best b USING (row_id)
+"""
+
+    sql["reverse_geocode_nuts3_2021"] = region_oracle(
+        f"{FIX}/nuts_regions_l3_2021.parquet", 4, "c.row_id, r.region_id")
+    # 2016 vintage: points from the 2021 squares, containment vs the smaller
+    # 2016 squares — rows near a 2021 boundary are NULL only in 2016
+    sql["reverse_geocode_nuts3_2016"] = f"""
+WITH {_points_sql(f"{FIX}/nuts_regions_l3_2021.parquet", 4)}
+SELECT c.row_id, r.region_id
+FROM coords c
+LEFT JOIN read_parquet('{FIX}/nuts_regions_l3_2016.parquet') r
+  ON c.longitude > r.xmin AND c.longitude < r.xmax
+ AND c.latitude > r.ymin AND c.latitude < r.ymax
+"""
+
+    # 20181031 GSP vintage: the oracle works ENTIRELY in EPSG:27700 space
+    # (bbox containment on the BNG squares + many:many lookup), independently
+    # checking the engine's E/N->lat/lon kernel + BNG prep branch end-to-end
+    sql["reverse_geocode_gsp_20181031"] = f"""
+WITH pts AS (
+  SELECT event_id AS row_id, event_id % 3 AS sqi,
+         0.05 + 0.9 * ((event_id % 211) * 1.0 / 211.0) AS fx,
+         0.05 + 0.9 * ((event_id % 199) * 1.0 / 199.0) AS fy
+  FROM events),
+sq AS (SELECT * FROM read_parquet('{FIX}/gsp_regions_20181031_bng.parquet')),
+en AS (
+  SELECT p.row_id,
+         CASE WHEN p.sqi = 2 THEN 650000.0 + p.fx * 1000.0
+              ELSE s.xmin + p.fx * (s.xmax - s.xmin) END AS easting,
+         CASE WHEN p.sqi = 2 THEN 1150000.0 + p.fy * 1000.0
+              ELSE s.ymin + p.fy * (s.ymax - s.ymin) END AS northing
+  FROM pts p LEFT JOIN sq s ON s.region_seq = p.sqi)
+SELECT e.row_id, r.region_id AS gsp, l.gsp_name, l.gnode
+FROM en e
+LEFT JOIN sq r ON e.easting > r.xmin AND e.easting < r.xmax
+              AND e.northing > r.ymin AND e.northing < r.ymax
+LEFT JOIN read_parquet('{FIX}/gsp_lookup_20181031.parquet') l
+  ON l.region_id = r.region_id
+"""
+
+    # F6 forward CRS kernel: independent DuckDB transcription of the public
+    # OS "A guide to coordinate systems in Great Britain" formulas exactly as
+    # crs.py sequences them (WGS84 geodetic -> cartesian -> 7-param Helmert
+    # -> Airy geodetic via fixed 8-step iteration -> transverse Mercator).
+    # Ellipsoid/Helmert constants are spelled as the same double expressions.
+    # NB every literal carries an e0 exponent so DuckDB types it DOUBLE —
+    # plain decimal literals are DECIMAL there and would change (or overflow)
+    # the arithmetic vs the numpy float64 kernel
+    _e2w = "((6378137e0*6378137e0 - 6356752.3141e0*6356752.3141e0)/(6378137e0*6378137e0))"
+    _e2a = "((6377563.396e0*6377563.396e0 - 6356256.909e0*6356256.909e0)/(6377563.396e0*6377563.396e0))"
+    _rx = "radians(-0.1502e0/3600e0)"
+    _ry = "radians(-0.2470e0/3600e0)"
+    _rz = "radians(-0.8421e0/3600e0)"
+    _sp1 = "(1e0 + 20.4894e-6)"
+    _na = "((6377563.396e0 - 6356256.909e0)/(6377563.396e0 + 6356256.909e0))"
+    sql["latlon2bng"] = f"""
+WITH RECURSIVE
+pts AS (
+  SELECT event_id AS row_id,
+         radians(50e0 + (event_id % 1000) * 8e0 / 1000e0) AS lat,
+         radians(-6e0 + (event_id % 997) * 7e0 / 997e0) AS lon
+  FROM events),
+nuw AS (SELECT row_id, lat, lon,
+        6378137e0 / sqrt(1e0 - {_e2w} * sin(lat) * sin(lat)) AS nu FROM pts),
+xyz AS (SELECT row_id,
+        nu * cos(lat) * cos(lon) AS x,
+        nu * cos(lat) * sin(lon) AS y,
+        (1e0 - {_e2w}) * nu * sin(lat) AS z FROM nuw),
+helm AS (SELECT row_id,
+         -446.448e0 + {_sp1} * x - {_rz} * y + {_ry} * z AS x2,
+         125.157e0 + {_rz} * x + {_sp1} * y - {_rx} * z AS y2,
+         -542.060e0 - {_ry} * x + {_rx} * y + {_sp1} * z AS z2
+         FROM xyz),
+pp AS (SELECT row_id, x2, y2, z2, sqrt(x2 * x2 + y2 * y2) AS p FROM helm),
+it AS (
+  SELECT row_id, p, z2, 0 AS i, atan2(z2, p * (1e0 - {_e2a})) AS lat FROM pp
+  UNION ALL
+  SELECT row_id, p, z2, i + 1,
+         atan2(z2 + {_e2a} * (6377563.396e0 / sqrt(1e0 - {_e2a} * sin(lat) * sin(lat))) * sin(lat), p)
+  FROM it WHERE i < 8),
+os36 AS (SELECT t.row_id, t.lat, atan2(h.y2, h.x2) AS lon
+         FROM it t JOIN pp h USING (row_id) WHERE t.i = 8),
+arc AS (SELECT row_id, lat, lon,
+        lat - radians(49e0) AS dlat, lat + radians(49e0) AS slat FROM os36),
+em AS (SELECT row_id, lat, lon,
+       6356256.909e0 * 0.9996012717e0 * (
+         (1e0 + {_na} + 1.25e0 * {_na} * {_na} + 1.25e0 * {_na} * {_na} * {_na}) * dlat
+         - (3e0 * {_na} + 3e0 * {_na} * {_na} + (21e0/8e0) * {_na} * {_na} * {_na})
+           * sin(dlat) * cos(slat)
+         + ((15e0/8e0) * ({_na} * {_na} + {_na} * {_na} * {_na}))
+           * sin(2e0 * dlat) * cos(2e0 * slat)
+         - (35e0/24e0) * {_na} * {_na} * {_na} * sin(3e0 * dlat) * cos(3e0 * slat)
+       ) AS m FROM arc),
+trig AS (SELECT row_id, lat, lon, m, sin(lat) AS sl, cos(lat) AS cl,
+         tan(lat) AS tl FROM em),
+nr AS (SELECT *,
+       6377563.396e0 * 0.9996012717e0 / sqrt(1e0 - {_e2a} * sl * sl) AS nu,
+       6377563.396e0 * 0.9996012717e0 * (1e0 - {_e2a})
+         * pow(1e0 - {_e2a} * sl * sl, -1.5e0) AS rho
+       FROM trig),
+terms AS (SELECT row_id, lon, nu / rho - 1e0 AS eta2,
+       m + (-100000e0) AS ti,
+       (nu / 2e0) * sl * cl AS tii,
+       (nu / 24e0) * sl * cl * cl * cl
+         * (5e0 - tl * tl + 9e0 * (nu / rho - 1e0)) AS tiii,
+       (nu / 720e0) * sl * cl * cl * cl * cl * cl
+         * (61e0 - 58e0 * tl * tl + tl * tl * tl * tl) AS tiiia,
+       nu * cl AS tiv,
+       (nu / 6e0) * cl * cl * cl * (nu / rho - tl * tl) AS tv,
+       (nu / 120e0) * cl * cl * cl * cl * cl
+         * (5e0 - 18e0 * tl * tl + tl * tl * tl * tl
+            + 14e0 * (nu / rho - 1e0) - 58e0 * tl * tl * (nu / rho - 1e0)) AS tvi,
+       lon - radians(-2e0) AS dl
+       FROM nr)
+SELECT row_id,
+       round(400000e0 + tiv * dl + tv * dl * dl * dl
+             + tvi * dl * dl * dl * dl * dl, 1) AS eastings,
+       round(ti + tii * dl * dl + tiii * dl * dl * dl * dl
+             + tiiia * dl * dl * dl * dl * dl * dl, 1) AS northings
+FROM terms
 """
 
     sql["cell_index"] = f"""

@@ -87,7 +87,15 @@ class GeocoderSpark:
     # --- forward geocode ----------------------------------------------------
 
     def geocode_postcode(self, postcodes: DataFrame,
-                         postcode_col: str = "postcode") -> DataFrame:
+                         postcode_col: str = "postcode",
+                         method: str = "cpo") -> DataFrame:
+        """``method`` parity with geocode.py:236-245: 'cpo' is the only
+        distributed backend; 'gmaps' routes to the stubbed no-API-key path
+        (statuses 3/4 never produced, gmaps.py:145-148)."""
+        if method not in ("cpo", "gmaps"):
+            raise ValueError(f"The method '{method}' is not supported")
+        if method == "gmaps":
+            return self.geocode_address(postcodes)
         return forward_geocode(postcodes, self._cpo_dim(), postcode_col)
 
     def geocode_llsoa(self, llsoas: DataFrame, code_col: str = "llsoa") -> DataFrame:
@@ -133,12 +141,22 @@ class GeocoderSpark:
                 pass
         return self._prep(label)
 
-    def reverse_geocode_llsoa(self, latlons: DataFrame, dz: bool = False,
+    def reverse_geocode_llsoa(self, latlons: DataFrame, dz: bool = True,
                               year: str = "2021",
-                              out_col: str = "llsoa") -> DataFrame:
-        """Default vintage 2021 (geocode.py:301)."""
+                              out_col: str = "llsoa",
+                              max_distance: float | None = None,
+                              distance_unit: str | None = None) -> DataFrame:
+        """Default vintage 2021 (geocode.py:301); default dz=True matches
+        the reference facade (geocode.py:150 ``dz=True`` — Scottish points
+        are relabelled to datazones unless opted out).
+
+        ``max_distance`` enables the bounded nearest-region fallback for
+        points outside every boundary (sjoin_nearest parity,
+        utilities.py:270-284). Unit = the prepared set's source CRS units
+        (metres for BNG-sourced data); override with ``distance_unit``."""
         out = reverse_geocode(latlons, self._prep_versioned("llsoa", year),
-                              out_col=out_col)
+                              out_col=out_col, max_distance=max_distance,
+                              distance_unit=distance_unit)
         if dz:
             out = datazone_relabel(out,
                                    self._table("datazone_lookup.parquet"),
@@ -146,11 +164,15 @@ class GeocoderSpark:
         return out
 
     def reverse_geocode_dno(self, latlons: DataFrame,
-                            out_col: str = "dno") -> DataFrame:
+                            out_col: str = "dno",
+                            max_distance: float | None = None,
+                            distance_unit: str | None = None) -> DataFrame:
         """DNO licence-area assignment (neso.py:218-267 boundaries; bbox
         prefilter P6 happens inside the PIP kernel)."""
         prep = self._prep("dno")
-        out = reverse_geocode(latlons, prep, out_col=out_col)
+        out = reverse_geocode(latlons, prep, out_col=out_col,
+                              max_distance=max_distance,
+                              distance_unit=distance_unit)
         if prep.attrs is not None:
             attrs = self.spark.createDataFrame(prep.attrs).select(
                 F.col("region_id").alias(out_col),
@@ -159,11 +181,21 @@ class GeocoderSpark:
         return out
 
     def reverse_geocode_gsp(self, latlons: DataFrame,
-                            version: str = "20260209") -> DataFrame:
+                            version: str = "20260209",
+                            max_distance: float | None = None,
+                            distance_unit: str | None = None) -> DataFrame:
         """(gsp, gsp_group) pair output parity (utilities.py:286-289);
-        default version 20260209 (geocode.py:298)."""
+        default version 20260209 (geocode.py:298). version="20181031"
+        routes to the EPSG:27700-prepared vintage + many:many lookup
+        (reverse_geocode_gsp_20181031, neso.py:303-343)."""
+        if version == "20181031":
+            return self.reverse_geocode_gsp_20181031(
+                latlons, max_distance=max_distance,
+                distance_unit=distance_unit)
         prep = self._prep_versioned("gsp", version)
-        out = reverse_geocode(latlons, prep, out_col="gsp")
+        out = reverse_geocode(latlons, prep, out_col="gsp",
+                              max_distance=max_distance,
+                              distance_unit=distance_unit)
         if prep.attrs is not None:
             attrs = self.spark.createDataFrame(prep.attrs).select(
                 F.col("region_id").alias("gsp"),
@@ -171,14 +203,50 @@ class GeocoderSpark:
             out = out.join(F.broadcast(attrs), "gsp", "left")
         return out
 
+    def reverse_geocode_gsp_20181031(self, latlons: DataFrame,
+                                     max_distance: float | None = None,
+                                     distance_unit: str | None = None
+                                     ) -> DataFrame:
+        """20181031 GSP vintage (neso.py:303-343): the reference converts
+        the points lat/lon -> BNG and sjoins in EPSG:27700 (neso.py:333);
+        here the prep normalized the BNG boundaries to WGS84 once
+        (regions.py prep, crs="EPSG:27700") — same assignments, opposite
+        direction. The many:many Region<->GSP<->GNode expansion
+        (results_more, neso.py:336-343) is a broadcast left join: one output
+        row per (point, gsp, gnode)."""
+        prep = self._prep("gsp_20181031")
+        out = reverse_geocode(latlons, prep, out_col="gsp",
+                              max_distance=max_distance,
+                              distance_unit=distance_unit)
+        lookup = self._table("gsp_lookup_20181031.parquet").select(
+            F.col("region_id").alias("gsp"), "gsp_name", "gnode")
+        return out.join(F.broadcast(lookup), "gsp", "left")
+
+    # allowed NUTS regulation years (eurostat.py:117-121 / geocode.py:169-195)
+    NUTS_YEARS = (2003, 2006, 2010, 2013, 2016, 2021)
+
     def reverse_geocode_nuts(self, latlons: DataFrame, level: int = 3,
-                             out_col: str = "nuts") -> DataFrame:
+                             year: int = 2021,
+                             out_col: str = "nuts",
+                             max_distance: float | None = None,
+                             distance_unit: str | None = None) -> DataFrame:
+        """Per-(level, year) vintage tables exactly as the reference keys
+        its caches (eurostat.py:38-40); default year 2021
+        (eurostat.py:117-121)."""
         if not 0 <= level <= 3:
             raise ValueError("level must be in 0..3")  # eurostat.py guard
-        return reverse_geocode(latlons, self._prep(f"nuts_l{level}"),
-                               out_col=out_col)
+        if int(year) not in self.NUTS_YEARS:
+            raise ValueError(
+                f"year must be one of {self.NUTS_YEARS}")  # eurostat.py guard
+        return reverse_geocode(latlons,
+                               self._prep_versioned(f"nuts_l{level}", str(year)),
+                               out_col=out_col, max_distance=max_distance,
+                               distance_unit=distance_unit)
 
     def reverse_geocode(self, latlons: DataFrame, entity: str, **kw) -> DataFrame:
+        """Dispatcher parity with geocode.py:283-308 — kwargs (max_distance,
+        year, version, dz, ...) forward to the entity adapter exactly as the
+        reference forwards them to utilities.reverse_geocode."""
         dispatch = {
             "llsoa": self.reverse_geocode_llsoa,
             "gsp": self.reverse_geocode_gsp,
@@ -188,6 +256,39 @@ class GeocoderSpark:
         if entity not in dispatch:
             raise ValueError(f"The entity '{entity}' is not supported")
         return dispatch[entity](latlons, **kw)
+
+    # --- raw boundary accessors (geocode.py:108-137 parity) ------------------
+
+    def _regions_df(self, prep) -> DataFrame:
+        """Prepared region set as a DataFrame: one row per region with its
+        bbox + vertex count (+ any attrs). The DataFrame analogue of the
+        reference returning the boundary GeoDataFrame itself."""
+        import pandas as pd
+
+        rows = []
+        for rid, (xs, ys, offs, bbox) in prep.geoms.items():
+            rows.append({
+                "region_id": rid, "region_seq": prep.seq.get(rid),
+                "xmin": bbox[0], "ymin": bbox[1],
+                "xmax": bbox[2], "ymax": bbox[3],
+                "n_vertices": int(len(xs)), "n_rings": int(len(offs) - 1),
+            })
+        df = pd.DataFrame(rows).sort_values("region_seq", ignore_index=True)
+        if prep.attrs is not None:
+            df = df.merge(prep.attrs, on="region_id", how="left")
+        return self.spark.createDataFrame(df)
+
+    def get_gsp_regions(self, version: str = "20260209") -> DataFrame:
+        """geocode.py:117-126 parity (returns the region table itself)."""
+        return self._regions_df(self._prep_versioned("gsp", version))
+
+    def get_llsoa_boundaries(self, year: str = "2021") -> DataFrame:
+        """geocode.py:128-137 parity."""
+        return self._regions_df(self._prep_versioned("llsoa", year))
+
+    def get_dno_regions(self) -> DataFrame:
+        """geocode.py:108-115 parity."""
+        return self._regions_df(self._prep("dno"))
 
     def llsoa_from_postcode(self, postcodes: DataFrame,
                             postcode_col: str = "postcode") -> DataFrame:
@@ -244,7 +345,7 @@ class GeocoderSpark:
         rows = self.geocode_postcode(df).orderBy("row_id").collect()
         return [(r.latitude, r.longitude, r.match_status) for r in rows]
 
-    def reverse_geocode_llsoa_list(self, latlons: list[tuple], dz: bool = False
+    def reverse_geocode_llsoa_list(self, latlons: list[tuple], dz: bool = True
                                    ) -> list:
         df = self.spark.createDataFrame(
             [(i, la, lo) for i, (la, lo) in enumerate(latlons)],

@@ -133,6 +133,65 @@ def prepare_regions_job(spark, args):
           f"({prep.cover.interior.mean():.0%} interior)")
 
 
+def setup_job(spark, args):
+    """CLI lifecycle parity with the reference's ``--setup <entities>``
+    (geocode.py:521-557 / force_setup geocode.py:380-392): (re)build the
+    synthetic fixture tables + every prepared region artifact under
+    --fixtures. With real data, prepare_regions is the per-dataset
+    equivalent; this is the one-shot everything path."""
+    from .sources.fixtures import build_all, checksum
+
+    build_all(args.fixtures)
+    print(f"setup: fixtures + prepared artifacts written to {args.fixtures} "
+          f"(sha256 {checksum(args.fixtures)[:16]}...)")
+
+
+def clear_cache_job(spark, args):
+    """``--clear-cache`` parity (geocode.py:521-557 -> cache_manager.clear,
+    cache_manager.py:86-119): drop prepared region artifacts, optionally
+    only stale versions (--keep-version) or one dataset (--name)."""
+    from .sources.loaders import clear_prepared
+
+    removed = clear_prepared(
+        Path(args.prepared),
+        keep_version=args.keep_version or None,
+        label=None if args.name == "regions" else args.name)
+    print(f"clear-cache: removed {len(removed)} prepared sets"
+          + (f": {', '.join(sorted(removed))}" if removed else ""))
+
+
+def debug_job(spark, args):
+    """``--debug`` parity (geocode.py:439-518): timed smoke run of every
+    entity path over deterministic sample inputs, timings logged per entity
+    exactly like the reference's debug() timers (geocode.py:442-510)."""
+    import time
+
+    from .geocoder import GeocoderSpark
+
+    g = GeocoderSpark(spark, data_dir=args.fixtures, prepared_dir=args.prepared)
+    lat0, lon0 = 54.53, -1.196  # inside fixture LLSOA E01012082
+    latlons = spark.range(1000).select(
+        F.col("id").alias("row_id"),
+        (F.lit(lat0) + (F.col("id") % 100) * F.lit(0.0004)).alias("latitude"),
+        (F.lit(lon0) + (F.col("id") % 97) * F.lit(0.00008)).alias("longitude"))
+    postcodes = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(["RG1 3PE", "S10 2FR", "FY2 0RD"] * 100)],
+        "row_id long, postcode string")
+    llsoas = spark.createDataFrame(
+        [(i, "E01012082") for i in range(100)], "row_id long, llsoa string")
+    runs = [
+        ("geocode_llsoa", lambda: g.geocode_llsoa(llsoas)),
+        ("reverse_geocode_llsoa", lambda: g.reverse_geocode_llsoa(latlons)),
+        ("reverse_geocode_gsp", lambda: g.reverse_geocode_gsp(latlons)),
+        ("reverse_geocode_nuts", lambda: g.reverse_geocode_nuts(latlons)),
+        ("geocode_postcode", lambda: g.geocode_postcode(postcodes)),
+    ]
+    for name, fn in runs:
+        t0 = time.time()
+        n = fn().count()
+        print(f"debug: {name}: {n} rows in {time.time() - t0:.2f}s")
+
+
 JOBS = {
     "latlons2llsoa": latlons2llsoa,
     "latlons2gsp": latlons2gsp,
@@ -140,14 +199,21 @@ JOBS = {
     "bng2latlon": bng2latlon,
     "geocode_pages": geocode_pages,
     "prepare_regions": prepare_regions_job,
+    "setup": setup_job,
+    "clear-cache": clear_cache_job,
+    "debug": debug_job,
 }
+
+# lifecycle jobs take no input/output files
+_NO_IO_JOBS = {"setup", "clear-cache", "debug"}
 
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="geocode_spark.jobs")
     p.add_argument("job", choices=sorted(JOBS))
-    p.add_argument("--infile", required=True)
-    p.add_argument("--outfile", required=True)
+    p.add_argument("--infile")
+    p.add_argument("--outfile")
+    p.add_argument("--keep-version", dest="keep_version", default="")
     p.add_argument("--prepared", default="/root/repo/fixtures/prepared")
     p.add_argument("--fixtures", default="/root/repo/fixtures")
     p.add_argument("--datazones", action="store_true")
@@ -158,6 +224,8 @@ def main(argv=None):
     p.add_argument("--attrs", default="")
     p.add_argument("--crs", default="EPSG:4326")
     args = p.parse_args(argv)
+    if args.job not in _NO_IO_JOBS and not (args.infile and args.outfile):
+        p.error(f"job {args.job!r} requires --infile and --outfile")
 
     from .session import get_spark
 

@@ -67,11 +67,10 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per byte-identical text. The window
-    partitions on (64-bit fingerprint, text): the hash narrows the shuffle
-    comparison, the text keeps the semantics exact — at 10^12 docs pure
-    64-bit grouping WOULD birthday-collide and silently drop documents."""
-    h = F.xxhash64(F.col(text_col))
-    w = Window.partitionBy(h, F.col(text_col)).orderBy(F.col(id_col))
+    partitions on sha2-256 of the text: collision-proof exactness (a 64-bit
+    key WOULD birthday-collide at 10^12 docs and silently drop documents)
+    without shuffling the full text bytes as part of the sort key."""
+    w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
               .filter(F.col("__rn") == 1).drop("__rn"))
 
@@ -79,13 +78,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def exact_dup_groups(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """(fingerprint, n_docs, min_id) for every duplicated text group.
-    Grouping includes the text itself (exactness; see exact_dedup)."""
+    Fingerprint = sha2-256 hex of the text: exact grouping at any corpus
+    size with a fixed-width shuffle key (the text itself never widens the
+    exchange)."""
     return (
-        df.groupBy(F.xxhash64(F.col(text_col)).alias("fingerprint"),
-                   F.col(text_col))
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("fingerprint"))
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("min_id"))
         .filter(F.col("n_docs") > 1)
-        .drop(text_col)
     )
 
 
@@ -295,16 +294,30 @@ def ngram_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n: int = 3,
-                            threshold: float = 0.5) -> DataFrame:
+                            threshold: float = 0.5,
+                            max_gram_df: int | None = 10_000) -> DataFrame:
     """Exact all-pairs word-n-gram Jaccard via an inverted-index self-join:
     explode distinct grams, join on gram (pairs share >=1 gram — everything
     else has jaccard 0), count intersections, divide by union sizes.
 
     The gram join is the classic set-similarity plan: shuffle key = gram,
-    pair blowup bounded by document-frequency of each gram (stop-gram
-    filtering would bound it further at corpus scale)."""
+    pair blowup quadratic in each gram's document frequency. ``max_gram_df``
+    is the stop-gram guard: grams appearing in more than that many documents
+    are dropped from the JOIN side. One boilerplate trigram in a web corpus
+    would otherwise make the join O(n^2). When the cap binds, shared
+    stop-grams no longer count toward the intersection (union sizes keep
+    every gram), so similarity is UNDERstated for affected pairs and pairs
+    sharing only stop-grams are missed — conservative in the same way as
+    LSH's ``max_bucket_size``. ``None`` disables the cap (exact baseline);
+    the default is a no-op until a gram hits 10k docs."""
     grams = ngram_tokens(df, text_col, id_col, n)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("__n"))
+    if max_gram_df is not None:
+        rare = (grams.groupBy("gram")
+                .agg(F.count("*").alias("__df"))
+                .filter(F.col("__df") <= max_gram_df)
+                .select("gram"))
+        grams = grams.join(rare, "gram")
     l = grams.select(F.col(id_col).alias("id_a"), "gram")
     r = grams.select(F.col(id_col).alias("id_b"), "gram")
     inter = (
@@ -326,7 +339,7 @@ def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                 max_iters: int = 20) -> DataFrame:
+                 max_iters: int = 20, strict: bool = True) -> DataFrame:
     """Connected components over duplicate pairs: every node gets
     ``cluster_id`` = min id reachable through pair edges (its own id when
     unpaired). The representative-per-cluster is then ``id == cluster_id``.
@@ -336,13 +349,22 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     Converges in O(cluster diameter) rounds — near-dup clusters in web
     corpora are shallow (boilerplate stars), so a handful of rounds; each
     round is one shuffle keyed by node id. Results persisted per round so
-    lineage doesn't grow exponentially."""
+    lineage doesn't grow exponentially.
+
+    A component with diameter > ``max_iters`` would exit unconverged —
+    silently WRONG labels (one cluster reported as several). ``strict=True``
+    (default) raises instead; ``strict=False`` downgrades to a warning for
+    exploratory runs. Raise ``max_iters`` (rounds are cheap, O(diameter)
+    total) rather than loosening."""
+    import warnings
+
     sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
         .unionByName(pairs.select(F.col("id_b").alias("src"),
                                   F.col("id_a").alias("dst")))
     labels = nodes.select(F.col(id_col).alias("src"),
                           F.col(id_col).alias("label")).persist()
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         # neighbour labels: for each dst, min label among its srcs
         nbr = (sym.join(labels, "src")
@@ -361,19 +383,41 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         labels.count()
         if changed == 0:
             break
+    if changed != 0:
+        msg = (f"dup_clusters did not converge in {max_iters} rounds "
+               f"({changed} labels still changing): some clusters are "
+               "split — raise max_iters")
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg)
     return labels.select(F.col("src").alias(id_col),
                          F.col("label").alias("cluster_id"))
 
 
 def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           threshold: float = 0.95) -> DataFrame:
+                           threshold: float = 0.95,
+                           method: str = "auto",
+                           max_exact_rows: int = 100_000,
+                           dim: int | None = None,
+                           bits: int = 12, seed: int = 42) -> DataFrame:
     """Near-dup by embedding cosine similarity.
 
-    Baseline all-pairs (self-join) — correct at any scale but O(n^2); the
-    scale path buckets by an LSH random-hyperplane sketch first (see
-    similarity.lsh_buckets) so only same-bucket pairs join.
+    ``method``:
+      * ``"exact"``    — all-pairs self-join. Correct at any threshold but
+        O(n^2): the verification baseline, NOT a 100 TB plan.
+      * ``"bucketed"`` — the scale path: random-hyperplane LSH sketch
+        (similarity.lsh_buckets), pairs join only within a bucket. Recall
+        <1 for low thresholds (pairs split across buckets are missed);
+        near-dup thresholds (>=0.9, small angles) collide with high
+        probability per bit. Requires ``dim``.
+      * ``"auto"``     — exact while the corpus is provably small
+        (count <= ``max_exact_rows``), bucketed beyond. The count is one
+        cheap aggregate; at web scale the bucketed branch always wins the
+        check, locally the exact branch keeps results oracle-checkable.
     """
+    if method == "auto":
+        method = "exact" if emb.count() <= max_exact_rows else "bucketed"
     norm = emb.select(
         F.col(id_col),
         F.transform(
@@ -382,12 +426,28 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                                              lambda a, y: a + y * y))
         ).alias("nv"),
     )
-    a = norm.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"))
-    b = norm.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"))
+    cos = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    if method == "exact":
+        a = norm.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"))
+        b = norm.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"))
+        cond = F.col("id_a") < F.col("id_b")
+    elif method == "bucketed":
+        if dim is None:
+            raise ValueError("method='bucketed' needs the embedding dim")
+        from .similarity import lsh_buckets
+
+        sk = lsh_buckets(norm, dim=dim, bits=bits, vec_col="nv", seed=seed,
+                         out_col="__bkt")
+        a = sk.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"),
+                      F.col("__bkt").alias("b_a"))
+        b = sk.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"),
+                      F.col("__bkt").alias("b_b"))
+        cond = (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
+    else:
+        raise ValueError(f"unknown method {method!r}")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.expr(
-            "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+        a.join(b, cond)
+        .withColumn("cosine", F.expr(cos))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -122,14 +122,23 @@ def frame_sample(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                for i, fb in enumerate(fn(row[binary_col], n_frames)):
-                    r = row.to_dict()
-                    r["frame_idx"] = i
-                    r["frame_bytes"] = fb
-                    rows.append(r)
-            if rows:
-                yield pd.DataFrame(rows)
+            if len(pdf) == 0:
+                continue
+            # columnar explode: frame extraction runs per payload (the
+            # pluggable decode hook is payload-granular by nature), but row
+            # materialization is a single vectorized take + two appended
+            # columns — no per-row pandas objects
+            frames = [fn(p, n_frames) for p in pdf[binary_col].tolist()]
+            counts = np.fromiter((len(f) for f in frames), dtype=np.int64,
+                                 count=len(frames))
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            out = pdf.iloc[np.repeat(np.arange(len(pdf)), counts)] \
+                     .reset_index(drop=True)
+            out["frame_idx"] = np.concatenate(
+                [np.arange(c, dtype=np.int32) for c in counts])
+            out["frame_bytes"] = [fb for f in frames for fb in f]
+            yield out
 
     return df.mapInPandas(run, schema=out_schema)

@@ -40,7 +40,8 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
 from ..cells import cell_of, cell_to_ij, cell_from_ij
-from ..geometry import dist_to_polygon, points_in_polygon
+from ..geometry import (METERS_PER_DEG, dist_to_polygon, dist_to_polygon_m,
+                        points_in_polygon)
 from ..regions import PreparedRegions
 
 
@@ -94,9 +95,15 @@ def _resolve_pip(cand: pd.DataFrame, geoms: dict) -> pd.DataFrame:
 
 def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
                   prep: PreparedRegions, max_distance: float,
-                  max_k: int | None = None) -> pd.DataFrame:
+                  max_k: int | None = None,
+                  metric: bool = False) -> pd.DataFrame:
     """Ring-expansion bounded nearest-region (sjoin_nearest semantics,
-    utilities.py:270-284). Distance unit = degrees (prep space).
+    utilities.py:270-284).
+
+    Distance unit: degrees (prep space) when ``metric=False``, METRES when
+    ``metric=True`` (local equirectangular scaling — the reference's
+    ``max_distance`` is in the regions' CRS units, which is metres for every
+    BNG-sourced dataset, utilities.py:253-255).
 
     Fully vectorized: each round k expands every unresolved point's
     neighbour disc at once (broadcasted i/j grids), one hash join against
@@ -112,21 +119,45 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
     unresolved = np.arange(len(miss_pos))
     # conservative per-ring guarantee radius uses the SMALLER (lat) step
     cell_deg = 180.0 / float(n)
+    if metric:
+        # metres per searched degree: the lon step shrinks by cos(lat), so
+        # the conservative per-point ring guarantee must scale by
+        # min(1, 2*cos) — cells are 2x wider in lon-degrees than lat-degrees
+        cos_pt = np.maximum(np.cos(np.radians(py)), 1e-3)
+        ring_scale = METERS_PER_DEG * np.minimum(1.0, 2.0 * cos_pt)
+    else:
+        ring_scale = np.ones(len(miss_pos))
     if max_k is None:
-        # enough rings that safe_radius(max_k) >= max_distance: a region
-        # inside the bound can never be missed by early exhaustion
-        # (sjoin_nearest(max_distance) parity, utilities.py:277-283)
-        max_k = int(np.ceil(2.0 * max_distance / cell_deg + 0.5)) + 1
+        # enough rings that safe_radius(max_k) >= max_distance for the
+        # slowest point: a region inside the bound can never be missed by
+        # early exhaustion (sjoin_nearest(max_distance) parity)
+        worst = float(ring_scale.min()) if len(miss_pos) else 1.0
+        max_k = int(np.ceil(2.0 * max_distance / (cell_deg * worst) + 0.5)) + 1
         max_k = min(max(max_k, 1), 4096)
     cover_small = cover[["cell", "region_id"]].drop_duplicates()
+    dist_fn = dist_to_polygon_m if metric else dist_to_polygon
     for k in range(1, max_k + 1):
         if len(unresolved) == 0:
             break
-        di = np.arange(-k, k + 1)
-        # (unresolved x disc) neighbour cells in one broadcast
-        ii = (ci[unresolved, None, None] + di[None, :, None]) % n
-        jj = np.clip(cj[unresolved, None, None] + di[None, None, :], 0, n - 1)
-        u_rep = np.broadcast_to(unresolved[:, None, None], ii.shape).ravel()
+        # probe only the NEW cells of round k: the full 3x3 disc on the
+        # first round, the 8k-cell perimeter ring afterwards. Best distances
+        # persist across rounds, so interior cells never need re-probing —
+        # cumulative work is O(k^2) per point instead of O(k^3)
+        if k == 1:
+            di = np.arange(-1, 2)
+            dij = np.stack(np.meshgrid(di, di, indexing="ij"), -1).reshape(-1, 2)
+        else:
+            side = np.arange(-k, k + 1)
+            edge = np.concatenate([
+                np.stack([np.full(2 * k + 1, -k), side], 1),
+                np.stack([np.full(2 * k + 1, k), side], 1),
+                np.stack([side[1:-1], np.full(2 * k - 1, -k)], 1),
+                np.stack([side[1:-1], np.full(2 * k - 1, k)], 1),
+            ])
+            dij = edge
+        ii = (ci[unresolved, None] + dij[None, :, 0]) % n
+        jj = np.clip(cj[unresolved, None] + dij[None, :, 1], 0, n - 1)
+        u_rep = np.broadcast_to(unresolved[:, None], ii.shape).ravel()
         ring_cells = cell_from_ij(ii.ravel(), jj.ravel(), res)
         probe = pd.DataFrame({"u": u_rep, "cell": ring_cells}).drop_duplicates()
         cand = probe.merge(cover_small, on="cell")[["u", "region_id"]] \
@@ -134,13 +165,14 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
         for rid, grp in cand.groupby("region_id", sort=False):
             xs, ys, offs, bbox = prep.geoms[rid]
             uu = grp["u"].to_numpy()
-            d = dist_to_polygon(px[uu], py[uu], xs, ys, offs)
+            d = dist_fn(px[uu], py[uu], xs, ys, offs)
             better = d < out_dist[uu]
             upd = uu[better]
             out_dist[upd] = d[better]
             out_rid[upd] = rid
-        safe_radius = (k - 0.5) * cell_deg * 0.5
-        done = (out_dist[unresolved] <= min(max_distance, safe_radius))
+        safe_radius = (k - 0.5) * cell_deg * 0.5 * ring_scale[unresolved]
+        done = (out_dist[unresolved]
+                <= np.minimum(max_distance, safe_radius))
         unresolved = unresolved[~done]
     valid = out_dist <= max_distance
     return pd.DataFrame({
@@ -157,8 +189,10 @@ def reverse_geocode(
     lon_col: str = "longitude",
     out_col: str = "region_id",
     max_distance: float | None = None,
+    distance_unit: str | None = None,
     strategy: str = "fused",
     keep_cell: bool = False,
+    keep_distance: bool = False,
     output_cols: list[str] | None = None,
     salt_partitions: int | None = None,
 ) -> DataFrame:
@@ -166,9 +200,17 @@ def reverse_geocode(
 
     All input columns pass through (or only ``output_cols`` when given —
     trims the Arrow return path, which matters when the caller only needs
-    the assignment); adds ``out_col`` (and ``cell_id`` when ``keep_cell``).
+    the assignment); adds ``out_col`` (and ``cell_id`` when ``keep_cell``,
+    ``knn_dist`` when ``keep_distance`` — NULL for direct PIP hits).
     Equivalent of utilities.reverse_geocode + the dataset adapters' rename
     (ons_nrs.py:384, neso.py:298, eurostat.py:151).
+
+    ``max_distance`` unit follows the reference's contract — the REGIONS'
+    source CRS units (utilities.py:253-255): metres when the prepared set
+    was built from EPSG:27700 data, degrees for native-WGS84 data. Override
+    with ``distance_unit`` = "m" | "deg" (e.g. metre bounds against a
+    WGS84-sourced region set). Metre distances use a local equirectangular
+    scaling (geometry.dist_to_polygon_m).
 
     ``salt_partitions``: pre-repartition the points on a salted hash — use
     when the upstream partitioning is spatially clustered (e.g. a crawl
@@ -181,6 +223,13 @@ def reverse_geocode(
     b_cover = sc.broadcast(prep.cover)
     b_geoms = sc.broadcast(prep.geoms)
     res = prep.res
+
+    if distance_unit is None:
+        # reference parity: unit = the regions' source CRS units
+        distance_unit = "m" if prep.crs == "EPSG:27700" else "deg"
+    if distance_unit not in ("m", "deg"):
+        raise ValueError("distance_unit must be 'm' or 'deg'")
+    metric = distance_unit == "m"
 
     if salt_partitions:
         # deterministic salt key only: a nondeterministic component (e.g.
@@ -199,6 +248,8 @@ def reverse_geocode(
         out_fields = keep_fields + [StructField(out_col, StringType())]
         if keep_cell:
             out_fields = out_fields + [StructField("cell_id", LongType())]
+        if keep_distance:
+            out_fields = out_fields + [StructField("knn_dist", DoubleType())]
         out_schema = StructType(out_fields)
         in_cols = [f.name for f in keep_fields]
 
@@ -219,14 +270,24 @@ def reverse_geocode(
                 lat_all = pdf[lat_col].to_numpy(np.float64)
                 lon_all = pdf[lon_col].to_numpy(np.float64)
                 finite = np.isfinite(lat_all) & np.isfinite(lon_all)
+                kdist = np.full(len(pdf), np.nan)
                 if max_distance is not None:
                     miss = np.flatnonzero(pd.isna(rid) & finite)
                     if len(miss):
                         near = _knn_fallback(miss, lon_all[miss], lat_all[miss],
-                                             prep_local, max_distance)
-                        rid[near["__pos"].to_numpy()] = near["region_id"].to_numpy()
+                                             prep_local, max_distance,
+                                             metric=metric)
+                        npos = near["__pos"].to_numpy()
+                        rid[npos] = near["region_id"].to_numpy()
+                        kdist[npos] = near["dist"].to_numpy()
                 out = pdf[in_cols].copy()
                 out[out_col] = rid
+                if keep_distance:
+                    # nullable Float64 so no-match rows surface as SQL NULL
+                    # (a plain float column would ship NaN through Arrow)
+                    kd = pd.array(kdist, dtype="Float64")
+                    kd[np.isnan(kdist)] = pd.NA
+                    out["knn_dist"] = kd
                 if keep_cell:
                     cid = np.full(len(pdf), None, dtype=object)
                     if finite.any():
@@ -237,11 +298,11 @@ def reverse_geocode(
         return points.mapInPandas(run, schema=out_schema)
 
     if strategy == "join":
-        if max_distance is not None or output_cols is not None:
+        if max_distance is not None or output_cols is not None or keep_distance:
             raise ValueError(
-                "strategy='join' does not support max_distance/output_cols "
-                "yet — use the default fused strategy (silently ignoring "
-                "them would change assignments between strategies)")
+                "strategy='join' does not support max_distance/output_cols/"
+                "keep_distance yet — use the default fused strategy (silently "
+                "ignoring them would change assignments between strategies)")
         return _reverse_geocode_join(points, prep, lat_col, lon_col, out_col,
                                      keep_cell)
     raise ValueError(f"unknown strategy {strategy!r}")
@@ -261,13 +322,25 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
                                  lon.to_numpy(np.float64), res))
 
     cover_df = spark.createDataFrame(prep.cover)
-    pts = points.withColumn("__rg_row", F.monotonically_increasing_id())
+    # Deterministic per-row key: xxhash64 of ALL columns under two seeds
+    # (128-bit composite). monotonically_increasing_id here would be the
+    # SPARK-23207 failure class — a stage recompute after shuffle-fetch
+    # failure could renumber rows, duplicating/dropping assignments when the
+    # uncached pts subtree is evaluated independently on both join branches.
+    # Byte-identical duplicate input rows share a key, which is safe: they
+    # are interchangeable and each receives the same (single) aggregated
+    # assignment from the groupBy below.
+    in_cols = [F.col(c) for c in points.columns]
+    pts = (points
+           .withColumn("__rg_row", F.xxhash64(*in_cols))
+           .withColumn("__rg_row2", F.xxhash64(F.lit(1), *in_cols)))
     pts = pts.withColumn("cell_id", cell_udf(F.col(lat_col), F.col(lon_col)))
     cand = pts.join(F.broadcast(cover_df),
                     pts["cell_id"] == cover_df["cell"], "left")
 
     pip_schema = StructType([
         StructField("__rg_row", LongType()),
+        StructField("__rg_row2", LongType()),
         StructField("region_id", StringType()),
         StructField("region_seq", LongType()),
     ])
@@ -297,17 +370,18 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
             inside = sub[keep]
             yield pd.DataFrame({
                 "__rg_row": inside["__rg_row"].astype(np.int64),
+                "__rg_row2": inside["__rg_row2"].astype(np.int64),
                 "region_id": inside["region_id"],
                 "region_seq": inside["region_seq"].astype(np.int64),
             })
 
     assignments = (
-        cand.select("__rg_row", lat_col, lon_col, "region_id", "region_seq",
-                    "interior")
+        cand.select("__rg_row", "__rg_row2", lat_col, lon_col, "region_id",
+                    "region_seq", "interior")
         .mapInPandas(pip, schema=pip_schema)
-        .groupBy("__rg_row")
+        .groupBy("__rg_row", "__rg_row2")
         .agg(F.min_by("region_id", "region_seq").alias(out_col))
     )
-    out = pts.join(assignments, "__rg_row", "left")
-    drop = ["__rg_row"] if keep_cell else ["__rg_row", "cell_id"]
+    out = pts.join(assignments, ["__rg_row", "__rg_row2"], "left")
+    drop = ["__rg_row", "__rg_row2"] + ([] if keep_cell else ["cell_id"])
     return out.drop(*drop)

@@ -34,6 +34,11 @@ LLSOA_RECORDS = [
     {"region_id": "E01011214", "rings": _square(-1.71, 53.66, -1.69, 53.67)},
     {"region_id": "E01002050", "rings": _square(-0.07, 51.57, -0.06, 51.58)},
     {"region_id": "W01000323", "rings": _square(-3.14, 53.20, -3.12, 53.21)},
+    # Scottish boundaries are 2011 Output Areas in the reference
+    # (ons_nrs.py:249-257); S00101253 relabels to datazone S01008087 when
+    # dz=True (the facade default, geocode.py:150) — a observable
+    # NON-identity relabel hit by generated points
+    {"region_id": "S00101253", "rings": _square(-4.34, 55.94, -4.32, 55.96)},
     {"region_id": "S01008087", "rings": _square(-4.23, 55.91, -4.21, 55.93)},
 ]
 
@@ -56,16 +61,43 @@ _NUTS_CODES = {
 }
 
 
-def nuts_records(level: int) -> list[dict]:
+def nuts_records(level: int, year: int = 2021) -> list[dict]:
+    """Per-(level, year) NUTS vintage tables (eurostat.py:38-40 cache keys;
+    year kwarg eurostat.py:117-121). The 2016 vintage uses visibly smaller
+    squares (same codes, 60% linear size) so year routing is observable:
+    points near a 2021 boundary fall OUTSIDE the 2016 regions."""
     recs = []
     for country, (lat, lon) in _NUTS_POINTS.items():
         code = _NUTS_CODES[country][level]
         half = 2.0 / (level + 1)  # shrinking nested squares
+        if year == 2016:
+            half *= 0.6
         recs.append({
             "region_id": code, "LEVL_CODE": level,
             "rings": _square(lon - half, lat - half, lon + half, lat + half),
         })
     return recs
+
+
+# --- GSP 20181031 vintage: EPSG:27700 (BNG) source geometry -------------------
+# neso.py:303-343 reverse-geocodes this vintage in BNG space (points are
+# converted lat/lon -> E/N, neso.py:333); region ids are integers joined to a
+# MANY:MANY Region<->GSP<->GNode lookup (neso.py:61-95). Synthetic squares in
+# valid GB National Grid ranges.
+
+GSP_20181031_RECORDS = [
+    {"region_id": "103", "rings": _square(390000.0, 410000.0,
+                                          420000.0, 440000.0)},
+    {"region_id": "247", "rings": _square(320000.0, 670000.0,
+                                          350000.0, 700000.0)},
+]
+
+GSP_LOOKUP_20181031 = [
+    # region_id, gsp_name, gnode — region 103 has two gnodes (many:many, J8)
+    ("103", "INDQ1", "INDQ"),
+    ("103", "INDQ1", "IRON"),
+    ("247", "BROX1", "BROX"),
+]
 
 
 # --- postcode dimension (CPO-shaped, cpo.py:60-110 schema) --------------------
@@ -148,10 +180,11 @@ LAD_CENTROIDS = [
 
 DATAZONE_LOOKUP = [
     # llsoa (OA) code -> datazone (ons_nrs.py:279-291; relabel ons_nrs.py:387-394)
+    # Scottish-only, like the real NRS lookup: with the facade's dz=True
+    # default the reference's English/Welsh golden values must pass through
+    # unchanged. S00101253 -> S01008087 is the observable non-identity map.
     ("S01008087", "S01008087"),
     ("S00101253", "S01008087"),
-    # non-identity mapping so the relabel path is observably exercised
-    ("E01012082", "DZ000001"),
 ]
 
 GSP_LOOKUP = [
@@ -300,6 +333,17 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
     flat(GSP_RECORDS, ("GSPs", "GSPGroup")).to_parquet(base / "gsp_regions.parquet", index=False)
     for level in range(4):
         flat(nuts_records(level)).to_parquet(base / f"nuts_regions_l{level}.parquet", index=False)
+        for year in (2016, 2021):
+            flat(nuts_records(level, year)).to_parquet(
+                base / f"nuts_regions_l{level}_{year}.parquet", index=False)
+
+    # 20181031 GSP vintage: flat bbox table in BNG units (the oracle works
+    # entirely in EPSG:27700 space) + the many:many lookup
+    flat(GSP_20181031_RECORDS).to_parquet(
+        base / "gsp_regions_20181031_bng.parquet", index=False)
+    pd.DataFrame(GSP_LOOKUP_20181031,
+                 columns=["region_id", "gsp_name", "gnode"]) \
+        .to_parquet(base / "gsp_lookup_20181031.parquet", index=False)
 
     # DNO licence areas (neso.py:218-267): polygons + bbox columns (P6)
     dno_records = [
@@ -334,8 +378,15 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
         save_prepared(prepare_regions(LLSOA_RECORDS, f"llsoa_{version}"), prep_dir)
     save_prepared(prepare_regions(GSP_RECORDS, "gsp", attrs_cols=["GSPs", "GSPGroup"]),
                   prep_dir)
+    # 20181031 vintage prepared from BNG source geometry (EPSG:27700 branch:
+    # rings are normalized to WGS84 at prep, crs records the metre-unit source)
+    save_prepared(prepare_regions(GSP_20181031_RECORDS, "gsp_20181031",
+                                  crs="EPSG:27700"), prep_dir)
     for level in range(4):
         save_prepared(prepare_regions(nuts_records(level), f"nuts_l{level}"), prep_dir)
+        for year in (2016, 2021):
+            save_prepared(prepare_regions(nuts_records(level, year),
+                                          f"nuts_l{level}_{year}"), prep_dir)
 
 
 def checksum(base_dir: str | Path = FIXTURE_DIR) -> str:

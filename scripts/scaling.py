@@ -29,6 +29,11 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 LEVELS = [int(x) for x in
           os.environ.get("SPARK_SCALING_LEVELS", "2,8").split(",")]
+# Pin each bench process (JVM + python workers) to exactly `cpus` cores via
+# taskset, so "local[N]" means an N-core machine rather than "N task slots
+# wandering over 32 shared cores" — the honest analogue of an N-core
+# executor, and it removes scheduler-migration noise from the comparison.
+PIN = os.environ.get("SPARK_SCALING_PIN", "1") == "1"
 
 
 def _burn(n):
@@ -38,25 +43,36 @@ def _burn(n):
     return x
 
 
-def cpu_probe() -> dict:
+def cpu_probe(pin: bool = False) -> dict:
     """Raw-CPU scaling of this host, independent of Spark/JVM: the hardware
-    ceiling any 4x-thread comparison is subject to."""
+    ceiling any 4x-thread comparison is subject to. With ``pin`` the P
+    worker processes are confined to cores 0..P-1 (mirrors the pinned
+    engine runs)."""
     out = {}
     n = 3_000_000
-    for procs in (1, 2, 4, 8, 16, 32):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [n] * procs)
-        dt = time.time() - t0
-        out[procs] = round(procs * n / dt / 1e6, 2)  # total Miters/s
+    prev = os.sched_getaffinity(0) if pin else None
+    try:
+        for procs in (1, 2, 4, 8, 16, 32):
+            if pin:
+                os.sched_setaffinity(0, set(range(procs)))
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [n] * procs)
+            dt = time.time() - t0
+            out[procs] = round(procs * n / dt / 1e6, 2)  # total Miters/s
+    finally:
+        if prev is not None:
+            os.sched_setaffinity(0, prev)
     return out
 
 
 def run_bench(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    cmd = [sys.executable, str(REPO / "bench.py")]
+    if PIN:
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, str(REPO / "bench.py")],
-        env=env, capture_output=True, text=True, timeout=3600)
+        cmd, env=env, capture_output=True, text=True, timeout=3600)
     for line in reversed(out.stdout.strip().splitlines()):
         if line.startswith("{"):
             return json.loads(line)
@@ -64,7 +80,7 @@ def run_bench(cpus: int) -> dict:
                        f"{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
-N_TRIALS = int(os.environ.get("SPARK_SCALING_TRIALS", "3"))
+N_TRIALS = int(os.environ.get("SPARK_SCALING_TRIALS", "5"))
 
 
 def main():
@@ -78,8 +94,9 @@ def main():
     for t in range(N_TRIALS):
         r = {c: run_bench(c) for c in LEVELS}
         eff = (r[lo]["value"] / r[hi]["value"]) / factor
-        # per-trial host ceiling: what the raw CPU scales lo->hi right now
-        tp = {p: v for p, v in cpu_probe().items() if p in (lo, hi)}
+        # per-trial host ceiling: what the raw CPU scales lo->hi right now,
+        # measured the same way the engine runs (pinned when PIN)
+        tp = {p: v for p, v in cpu_probe(pin=PIN).items() if p in (lo, hi)}
         ceil = tp[hi] / tp[lo] / factor
         trials.append((eff, ceil, r))
     trials_sorted = sorted(trials, key=lambda x: x[0])
@@ -87,8 +104,10 @@ def main():
     summary = {
         "levels": results,
         "cpu_probe_miters_per_s": probe,
+        "pinned": PIN,
         "trial_efficiencies": [round(e, 3) for e, _, _ in trials],
         "trial_hw_ceilings": [round(c, 3) for _, c, _ in trials],
+        "trial_hw_relative": [round(e / c, 3) for e, c, _ in trials],
         "hw_relative_efficiency": round(
             max(min(e / c, 1.5) for e, c, _ in trials), 3),
     }
@@ -140,11 +159,14 @@ def main():
         f"| **total** | {t_lo:.2f} | {t_hi:.2f} | {t_lo / t_hi:.2f}x | "
         f"{(t_lo / t_hi) / factor:.3f} |",
         "",
-        f"Median efficiency across {len(trials)} paired trials: "
+        f"Median efficiency across {len(trials)} paired trials"
+        f"{' (taskset-pinned: local[N] confined to exactly N cores)' if PIN else ''}: "
         f"**{summary['efficiency_total']:.3f}** (all trials: "
         f"{', '.join(str(e) for e in summary['trial_efficiencies'])}; "
         f"host ceiling per trial: "
-        f"{', '.join(str(c) for c in summary['trial_hw_ceilings'])}) — the "
+        f"{', '.join(str(c) for c in summary['trial_hw_ceilings'])}; "
+        f"paired engine/ceiling ratio per trial: "
+        f"{', '.join(str(x) for x in summary['trial_hw_relative'])}) — the "
         "host is multi-tenant with >30% CPU variance between runs, so the "
         "median trial is shown above and every trial is disclosed. "
         f"Hardware-relative efficiency (engine / host ceiling, best trial): "

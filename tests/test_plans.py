@@ -77,3 +77,25 @@ def test_whole_stage_codegen_covers_text_ops(spark, fixture_dir):
     assert "*(" in plan  # whole-stage codegen marker in simple mode
     # no python evaluation anywhere in the text-profile plan
     assert "Python" not in plan and "InPandas" not in plan
+
+
+def test_multimodal_plans_are_arrow_not_row_python(spark, fixture_dir):
+    """The COVERAGE.md claim 'no row-at-a-time Python' extended to the
+    multimodal module: every Python stage must be an Arrow-vectorized
+    mapInPandas / pandas UDF (MapInPandas / ArrowEvalPython), never a
+    row-at-a-time BatchEvalPython."""
+    from geocode_spark.operators.multimodal import (frame_sample,
+                                                    with_media_meta)
+
+    pages = spark.read.parquet(str(fixture_dir / "pages.parquet"))
+    for df in (frame_sample(pages, binary_col="html", n_frames=3),
+               with_media_meta(pages, binary_col="html")):
+        plan = plan_of(df, mode="simple")
+        assert "BatchEvalPython" not in plan, plan
+    # source-level guard: no pandas row iteration anywhere in the module
+    import inspect
+
+    import geocode_spark.operators.multimodal as mm
+
+    src = inspect.getsource(mm)
+    assert "iterrows" not in src and "itertuples" not in src

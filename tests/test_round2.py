@@ -1,0 +1,224 @@
+"""Round-2 additions: metre-unit kNN, NUTS year vintages, GSP 20181031 BNG
+path, facade lifecycle parity, dedup scale guards, single-pass lineage,
+ingest pagination."""
+
+import json
+
+import pytest
+import pyspark.sql.functions as F
+
+from geocode_spark.geocoder import GeocoderSpark
+
+
+@pytest.fixture(scope="module")
+def geo(spark, fixture_dir):
+    return GeocoderSpark(spark, data_dir=str(fixture_dir))
+
+
+class TestMetricKnn:
+    def test_metre_semantics(self, spark, fixture_dir):
+        """Reference parity: max_distance is in the regions' CRS units
+        (utilities.py:253-255) — a 1 km bound must behave like 1 km, not
+        1 degree. Point ~1.25 km east of E01002050's right edge."""
+        from geocode_spark.regions import load_prepared
+        from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+        prep = load_prepared("llsoa", fixture_dir / "prepared")
+        # E01002050: lon [-0.07, -0.06], lat [51.57, 51.58]
+        df = spark.createDataFrame(
+            [(0, 51.575, -0.042)],  # 0.018 deg east ~ 1.25 km at cos(51.6)
+            "row_id long, latitude double, longitude double")
+        hit = reverse_geocode(df, prep, max_distance=2000.0,
+                              distance_unit="m", keep_distance=True).collect()[0]
+        assert hit.region_id == "E01002050"
+        assert hit.knn_dist == pytest.approx(1246.0, abs=5.0)
+        miss = reverse_geocode(df, prep, max_distance=1000.0,
+                               distance_unit="m").collect()[0]
+        assert miss.region_id is None
+
+    def test_crs_default_unit(self, fixture_dir):
+        """EPSG:27700-sourced preps default to metres, WGS84 to degrees."""
+        from geocode_spark.regions import load_prepared
+
+        assert load_prepared("gsp_20181031", fixture_dir / "prepared").crs \
+            == "EPSG:27700"
+        assert load_prepared("llsoa", fixture_dir / "prepared").crs \
+            == "EPSG:4326"
+
+
+class TestFacadeParity:
+    def test_nuts_year_routing(self, geo, spark):
+        """eurostat.py:117-121: year selects a different vintage table. A
+        point near the 2021 UKK15 boundary is outside the smaller 2016
+        square."""
+        df = spark.createDataFrame(
+            [(0, 51.3259, -1.57)],  # 0.39 deg east of the l3 centre
+            "row_id long, latitude double, longitude double")
+        assert geo.reverse_geocode_nuts(df, level=3, year=2021) \
+            .collect()[0].nuts == "UKK15"
+        assert geo.reverse_geocode_nuts(df, level=3, year=2016) \
+            .collect()[0].nuts is None
+        with pytest.raises(ValueError, match="year"):
+            geo.reverse_geocode_nuts(df, level=3, year=1999)
+
+    def test_gsp_20181031(self, geo, spark):
+        """neso.py:303-343: E/N-sourced vintage + many:many gnode expand."""
+        from geocode_spark.crs import bng_to_latlon
+        import numpy as np
+
+        lat, lon = bng_to_latlon(np.array([405000.0]), np.array([425000.0]))
+        df = spark.createDataFrame(
+            [(0, float(lat[0]), float(lon[0]))],
+            "row_id long, latitude double, longitude double")
+        rows = geo.reverse_geocode_gsp(df, version="20181031") \
+            .orderBy("gnode").collect()
+        assert [(r.gsp, r.gsp_name, r.gnode) for r in rows] == [
+            ("103", "INDQ1", "INDQ"), ("103", "INDQ1", "IRON")]
+
+    def test_boundary_accessors(self, geo):
+        """geocode.py:108-137: region tables returned as DataFrames."""
+        gsp = geo.get_gsp_regions()
+        assert gsp.count() == 2 and "GSPGroup" in gsp.columns
+        assert geo.get_llsoa_boundaries().count() == 6
+        dno = geo.get_dno_regions().collect()
+        assert {r.region_id for r in dno} == {"10", "12"}
+
+    def test_geocode_postcode_method(self, geo, spark):
+        """geocode.py:236-245 method kwarg: validated; gmaps stub returns
+        status 0 (no API key, gmaps.py:145-148)."""
+        df = spark.createDataFrame([(0, "RG1 3PE")],
+                                   "row_id long, postcode string")
+        with pytest.raises(ValueError, match="method"):
+            geo.geocode_postcode(df, method="nope")
+        out = geo.geocode_postcode(df, method="gmaps").collect()[0]
+        assert out.match_status == 0 and out.latitude is None
+
+    def test_dz_default_true(self, geo, spark):
+        """geocode.py:150: dz defaults True — a Scottish OA region relabels
+        to its datazone unless opted out."""
+        df = spark.createDataFrame(
+            [(0, 55.95, -4.33)],  # inside S00101253
+            "row_id long, latitude double, longitude double")
+        assert geo.reverse_geocode_llsoa(df).collect()[0].llsoa == "S01008087"
+        assert geo.reverse_geocode_llsoa(df, dz=False).collect()[0].llsoa \
+            == "S00101253"
+
+
+class TestDedupGuards:
+    def test_stop_gram_cap_bounds_hot_gram(self, spark):
+        from geocode_spark.operators.dedup import ngram_jaccard_all_pairs
+
+        rows = [(i, f"common gram here unique{i} word{i} tail{i}")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        # 'common gram here' appears in all 8 docs; cap 4 drops it from the
+        # join -> no pair shares any remaining gram
+        capped = ngram_jaccard_all_pairs(df, threshold=0.01, max_gram_df=4)
+        assert capped.count() == 0
+        uncapped = ngram_jaccard_all_pairs(df, threshold=0.01,
+                                           max_gram_df=None)
+        assert uncapped.count() == 28  # all pairs share the hot gram
+
+    def test_cosine_bucketed_subset_of_exact(self, spark):
+        from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+        import numpy as np
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(16)
+        rows = []
+        for i in range(20):
+            v = base + 0.01 * rng.standard_normal(16)  # near-dup cluster
+            rows.append((i, [float(x) for x in v]))
+        for i in range(20, 40):
+            rows.append((i, [float(x) for x in rng.standard_normal(16)]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+            df, threshold=0.99, method="exact").collect()}
+        bucketed = {(r.id_a, r.id_b) for r in embedding_cosine_pairs(
+            df, threshold=0.99, method="bucketed", dim=16, bits=8).collect()}
+        assert bucketed <= exact
+        # near-identical vectors share every sign bucket: full recall here
+        assert bucketed == exact and len(exact) == 190
+        # auto with a tiny cap routes to bucketed without error
+        auto = embedding_cosine_pairs(df, threshold=0.99, method="auto",
+                                      max_exact_rows=10, dim=16, bits=8)
+        assert {(r.id_a, r.id_b) for r in auto.collect()} == bucketed
+
+    def test_dup_clusters_strict_raises_unconverged(self, spark):
+        from geocode_spark.operators.dedup import dup_clusters
+
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="converge"):
+            dup_clusters(nodes, chain, max_iters=1)
+        ok = dup_clusters(nodes, chain, max_iters=10)
+        assert {r.cluster_id for r in ok.collect()} == {0}
+
+
+class TestLineageSinglePass:
+    def test_key_must_survive_transform(self, spark, tmp_path):
+        from geocode_spark.plans.lineage import run_with_lineage
+
+        df = spark.range(100).withColumn("k", F.col("id") % 10)
+        with pytest.raises(ValueError, match="survive"):
+            run_with_lineage(df, tmp_path / "o", key_col="id",
+                             transform=lambda d: d.select("k"), n_buckets=2)
+
+    def test_partitioned_layout_and_counts(self, spark, tmp_path):
+        from geocode_spark.plans.lineage import run_with_lineage
+
+        df = spark.range(500)
+        out = tmp_path / "lp"
+        res = run_with_lineage(df, out, key_col="id", n_buckets=4,
+                               snapshot_id="s1")
+        assert sum(r.rows for r in res) == 500
+        # partitionBy layout: bucket=<i> dirs under one write root
+        assert sorted(p.name for p in out.glob("bucket=*")) == [
+            f"bucket={i}" for i in range(4)]
+        # manifests carry footer-derived counts
+        m = json.loads((out / "_lineage" / "bucket=0.json").read_text())
+        assert m["rows"] == res[0].rows and m["committed"]
+        # round-trip: partition column readable
+        back = spark.read.parquet(str(out))
+        assert back.count() == 500 and "bucket" in back.columns
+
+
+class TestIngestScript:
+    def test_paginate_merges_pages(self):
+        import sys
+        sys.path.insert(0, "/root/repo/scripts")
+        from fetch_ons_geojson import paginate
+
+        pages = {
+            0: {"features": [{"id": 1}, {"id": 2}],
+                "exceededTransferLimit": True},
+            2: {"features": [{"id": 3}], "exceededTransferLimit": False},
+        }
+
+        def fake_fetch(url):
+            off = int(url.split("resultOffset=")[1].split("&")[0])
+            return pages[off]
+
+        fc = paginate("https://x/query?f=geojson", fetch=fake_fetch,
+                      page_size=2)
+        assert [f["id"] for f in fc["features"]] == [1, 2, 3]
+
+    def test_retry_then_success(self):
+        import sys
+        sys.path.insert(0, "/root/repo/scripts")
+        from fetch_ons_geojson import fetch_with_retry
+
+        calls = []
+
+        def flaky(url):
+            calls.append(url)
+            if len(calls) < 3:
+                raise OSError("boom")
+            return {"ok": True}
+
+        assert fetch_with_retry("u", fetch=flaky, backoff=0.0) == {"ok": True}
+        assert len(calls) == 3
+        with pytest.raises(RuntimeError, match="3 attempts"):
+            fetch_with_retry("u", fetch=lambda u: (_ for _ in ()).throw(
+                OSError("always")), backoff=0.0)
