@@ -523,6 +523,37 @@ def q_set_ops(spark, sf_dir):
         .select(F.col("o_custkey").alias("custkey"))
 
 
+def q_events_rollup(spark, sf_dir):
+    """Rollup aggregation (subtotals + grand total) — beyond the reference's
+    flat groupbys; NULL grouping indicator hash-compared with the oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("value").cast("decimal(18,4)"))
+              .cast("double").alias("total_value"))
+    )
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Left-anti join coverage: customers with no URGENT order (plain
+    no-orders is empty at this SF — a 0-row match would check nothing)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+def q_urgent_customers_semi(spark, sf_dir):
+    """Left-semi join coverage: customers with >=1 urgent order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+            .select("c_custkey"))
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -577,6 +608,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_nation": q_orders_by_nation,
         "top_orders_window": q_top_orders_window,
         "events_hourly": q_events_hourly,
+        "events_rollup": q_events_rollup,
+        "customers_no_orders": q_customers_no_orders,
+        "urgent_customers_semi": q_urgent_customers_semi,
         "set_ops": q_set_ops,
     }
 
@@ -1033,6 +1067,24 @@ SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+    sql["events_rollup"] = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+    sql["customers_no_orders"] = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+"""
+
+    sql["urgent_customers_semi"] = """
+SELECT c_custkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT')
 """
 
     # minhash_pairs / simhash_pairs / ann_topk_lsh are approximate/seeded ->

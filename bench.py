@@ -36,6 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "4000000"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
+N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
 WARMUP = os.environ.get("BENCH_WARMUP", "1") != "0"
 
 
@@ -123,7 +124,7 @@ def main():
     # measures the pipeline operators, not synthetic-data generation
     pipeline_corpus = make_pages(spark, N_DOCS).persist()
     pipeline_corpus.count()
-    minhash_corpus = make_pages(spark, 80000, vary_text=True) \
+    minhash_corpus = make_pages(spark, N_MINHASH, vary_text=True) \
         .select("url", "text").persist()
     minhash_corpus.count()
 

@@ -238,8 +238,17 @@ class GeocoderSpark:
         if int(year) not in self.NUTS_YEARS:
             raise ValueError(
                 f"year must be one of {self.NUTS_YEARS}")  # eurostat.py guard
-        return reverse_geocode(latlons,
-                               self._prep_versioned(f"nuts_l{level}", str(year)),
+        # no silent cross-vintage fallback: serving 2021 geometry for a
+        # 2013 request would be a wrong answer, not a default
+        try:
+            prep = self._prep(f"nuts_l{level}_{year}")
+        except FileNotFoundError as ex:
+            raise FileNotFoundError(
+                f"NUTS {year} level-{level} vintage is not prepared under "
+                f"{self.prepared_dir} — run the prepare_regions job on that "
+                "year's boundaries first (the reference downloads them "
+                "lazily, eurostat.py:51-115; here prep is explicit)") from ex
+        return reverse_geocode(latlons, prep,
                                out_col=out_col, max_distance=max_distance,
                                distance_unit=distance_unit)
 

@@ -69,11 +69,15 @@ def points_in_polygon(px, py, xs, ys, ring_offsets, chunk: int = 4096) -> np.nda
     return out
 
 
-def dist_to_polygon(px, py, xs, ys, ring_offsets, chunk: int = 2048) -> np.ndarray:
-    """Min distance from each point to the polygon boundary (planar units).
+def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,
+                 metric: bool) -> np.ndarray:
+    """Shared min point-to-boundary segment-distance kernel.
 
-    Points inside the polygon get distance 0 (membership semantics of
-    ``sjoin_nearest``: distance to geometry is 0 when contained).
+    ``metric=False``: planar units of the input coordinates.
+    ``metric=True``: local equirectangular METRES — x-differences (point
+    offsets AND edge vectors) are scaled by cos(lat_point) before the
+    projection, so the clamped foot-point is the true nearest point of the
+    scaled space; the result is multiplied by METERS_PER_DEG.
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
@@ -84,19 +88,34 @@ def dist_to_polygon(px, py, xs, ys, ring_offsets, chunk: int = 2048) -> np.ndarr
         return out
     ex = x2 - x1
     ey = y2 - y1
-    elen2 = ex * ex + ey * ey
-    elen2 = np.where(elen2 == 0.0, 1.0, elen2)
     for s in range(0, px.shape[0], chunk):
         e = min(s + chunk, px.shape[0])
-        dx = px[s:e, None] - x1[None, :]
-        dy = py[s:e, None] - y1[None, :]
-        t = np.clip((dx * ex[None, :] + dy * ey[None, :]) / elen2[None, :], 0.0, 1.0)
-        qx = dx - t * ex[None, :]
-        qy = dy - t * ey[None, :]
-        out[s:e] = np.sqrt((qx * qx + qy * qy).min(axis=1))
+        if metric:
+            c = np.cos(np.radians(py[s:e]))[:, None]
+        else:
+            c = np.ones((e - s, 1))
+        dxs = (px[s:e, None] - x1[None, :]) * c
+        dys = py[s:e, None] - y1[None, :]
+        exs = ex[None, :] * c
+        elen2 = exs * exs + ey[None, :] * ey[None, :]
+        elen2 = np.where(elen2 == 0.0, 1.0, elen2)
+        t = np.clip((dxs * exs + dys * ey[None, :]) / elen2, 0.0, 1.0)
+        qx = dxs - t * exs
+        qy = dys - t * ey[None, :]
+        d = np.sqrt((qx * qx + qy * qy).min(axis=1))
+        out[s:e] = d * METERS_PER_DEG if metric else d
     inside = points_in_polygon(px, py, xs, ys, ring_offsets)
     out[inside] = 0.0
     return out
+
+
+def dist_to_polygon(px, py, xs, ys, ring_offsets, chunk: int = 2048) -> np.ndarray:
+    """Min distance from each point to the polygon boundary (planar units).
+
+    Points inside the polygon get distance 0 (membership semantics of
+    ``sjoin_nearest``: distance to geometry is 0 when contained).
+    """
+    return _dist_kernel(px, py, xs, ys, ring_offsets, chunk, metric=False)
 
 
 # metres per degree of latitude (equirectangular local approximation); the
@@ -108,44 +127,17 @@ METERS_PER_DEG = 111320.0
 def dist_to_polygon_m(px, py, xs, ys, ring_offsets, chunk: int = 2048) -> np.ndarray:
     """Min distance in METRES from WGS84 points to a WGS84 polygon boundary.
 
-    Local equirectangular scaling per point: x-differences are multiplied by
-    cos(lat_point) before the planar segment distance, then the degree result
-    is scaled by METERS_PER_DEG. This is the metre-unit parity path for the
-    reference's ``sjoin_nearest(..., max_distance)`` whose distances are in
-    the regions' CRS units — metres for every BNG-sourced dataset
+    Local equirectangular scaling per point (see _dist_kernel). This is the
+    metre-unit parity path for the reference's
+    ``sjoin_nearest(..., max_distance)`` whose distances are in the regions'
+    CRS units — metres for every BNG-sourced dataset
     (/root/reference/geocode/utilities.py:253-284). Exact to the local-
     flat-earth approximation (<0.1% at region scale), vs the ~0.04% scale
     distortion BNG itself carries.
 
     Points inside the polygon get distance 0 (containment semantics).
     """
-    px = np.asarray(px, dtype=np.float64)
-    py = np.asarray(py, dtype=np.float64)
-    x1, y1, x2, y2 = _ring_edges(np.asarray(xs, float), np.asarray(ys, float),
-                                 np.asarray(ring_offsets, int))
-    out = np.full(px.shape[0], np.inf)
-    if x1.size == 0:
-        return out
-    ex = x2 - x1
-    ey = y2 - y1
-    for s in range(0, px.shape[0], chunk):
-        e = min(s + chunk, px.shape[0])
-        c = np.cos(np.radians(py[s:e]))[:, None]
-        # per-point anisotropic scale: S = diag(cos(lat), 1) applied to both
-        # the point offset and the edge vector (t must be computed in the
-        # scaled space for the projection to be the true nearest point)
-        dxs = (px[s:e, None] - x1[None, :]) * c
-        dys = py[s:e, None] - y1[None, :]
-        exs = ex[None, :] * c
-        elen2 = exs * exs + ey[None, :] * ey[None, :]
-        elen2 = np.where(elen2 == 0.0, 1.0, elen2)
-        t = np.clip((dxs * exs + dys * ey[None, :]) / elen2, 0.0, 1.0)
-        qx = dxs - t * exs
-        qy = dys - t * ey[None, :]
-        out[s:e] = np.sqrt((qx * qx + qy * qy).min(axis=1)) * METERS_PER_DEG
-    inside = points_in_polygon(px, py, xs, ys, ring_offsets)
-    out[inside] = 0.0
-    return out
+    return _dist_kernel(px, py, xs, ys, ring_offsets, chunk, metric=True)
 
 
 def _seg_rect_intersect(x1, y1, x2, y2, rx0, ry0, rx1, ry1):

@@ -141,8 +141,8 @@ def setup_job(spark, args):
     equivalent; this is the one-shot everything path."""
     from .sources.fixtures import build_all, checksum
 
-    build_all(args.fixtures)
-    print(f"setup: fixtures + prepared artifacts written to {args.fixtures} "
+    build_all(args.fixtures, prepared_dir=args.prepared)
+    print(f"setup: fixtures -> {args.fixtures}, prepared -> {args.prepared} "
           f"(sha256 {checksum(args.fixtures)[:16]}...)")
 
 

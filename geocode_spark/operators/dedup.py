@@ -344,12 +344,14 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ``cluster_id`` = min id reachable through pair edges (its own id when
     unpaired). The representative-per-cluster is then ``id == cluster_id``.
 
-    Iterative min-label propagation (driver loop, each step pure DataFrame
-    ops): label'(v) = min(label(v), min over neighbours u of label(u)).
-    Converges in O(cluster diameter) rounds — near-dup clusters in web
-    corpora are shallow (boilerplate stars), so a handful of rounds; each
-    round is one shuffle keyed by node id. Results persisted per round so
-    lineage doesn't grow exponentially.
+    Iterative min-label propagation with pointer-doubling shortcut (driver
+    loop, each step pure DataFrame ops):
+    label'(v) = min(label(v), min_u label(u), label(label(v))) — the last
+    term jumps each node to its current representative's representative, so
+    long chains converge in O(log diameter) rounds instead of O(diameter)
+    (the large-star/small-star idea). Each round is two shuffles keyed by
+    node id / label. Results persisted per round so lineage doesn't grow
+    exponentially.
 
     A component with diameter > ``max_iters`` would exit unconverged —
     silently WRONG labels (one cluster reported as several). ``strict=True``
@@ -364,32 +366,47 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     labels = nodes.select(F.col(id_col).alias("src"),
                           F.col(id_col).alias("label")).persist()
     labels.count()
-    changed = 0
-    for _ in range(max_iters):
-        # neighbour labels: for each dst, min label among its srcs
-        nbr = (sym.join(labels, "src")
+
+    def _round(cur):
+        """One propagation round: (new persisted labels, n changed)."""
+        nbr = (sym.join(cur, "src")
                .groupBy(F.col("dst").alias("src"))
                .agg(F.min("label").alias("nbr_label")))
-        new_labels = (labels.join(nbr, "src", "left")
-                      .select("src",
-                              F.least(F.col("label"),
-                                      F.coalesce("nbr_label", "label"))
-                              .alias("label"))).persist()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "src")
-                   .filter(F.col("n.label") != F.col("o.label")).count())
+        # shortcut: label(label(v)) — pointer doubling
+        hop = cur.select(F.col("src").alias("label"),
+                         F.col("label").alias("hop_label"))
+        new = (cur.join(nbr, "src", "left")
+               .join(hop, "label", "left")
+               .select("src",
+                       F.least(F.col("label"),
+                               F.coalesce("nbr_label", "label"),
+                               F.coalesce("hop_label", "label"))
+                       .alias("label"))).persist()
+        n = (new.alias("n")
+             .join(cur.alias("o"), "src")
+             .filter(F.col("n.label") != F.col("o.label")).count())
+        return new, n
+
+    changed = 0
+    for _ in range(max_iters):
+        new_labels, changed = _round(labels)
         labels.unpersist()
         labels = new_labels
         labels.count()
         if changed == 0:
             break
     if changed != 0:
-        msg = (f"dup_clusters did not converge in {max_iters} rounds "
-               f"({changed} labels still changing): some clusters are "
-               "split — raise max_iters")
-        if strict:
-            raise RuntimeError(msg)
-        warnings.warn(msg)
+        # the LAST allowed round may itself have reached the fixpoint —
+        # verify with one extra round before declaring failure
+        probe, would_change = _round(labels)
+        probe.unpersist()
+        if would_change != 0:
+            msg = (f"dup_clusters did not converge in {max_iters} rounds "
+                   f"({would_change} labels still changing): some clusters "
+                   "are split — raise max_iters")
+            if strict:
+                raise RuntimeError(msg)
+            warnings.warn(msg)
     return labels.select(F.col("src").alias(id_col),
                          F.col("label").alias("cluster_id"))
 
@@ -433,7 +450,15 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         cond = F.col("id_a") < F.col("id_b")
     elif method == "bucketed":
         if dim is None:
-            raise ValueError("method='bucketed' needs the embedding dim")
+            # infer from one row — the auto path must not crash exactly at
+            # the scale it exists for
+            first = emb.select(vec_col).first()
+            if first is None:
+                return norm.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col(id_col).alias("id_b"),
+                    F.lit(0.0).alias("cosine")).limit(0)
+            dim = len(first[0])
         from .similarity import lsh_buckets
 
         sk = lsh_buckets(norm, dim=dim, bits=bits, vec_col="nv", seed=seed,

@@ -322,15 +322,29 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
                                  lon.to_numpy(np.float64), res))
 
     cover_df = spark.createDataFrame(prep.cover)
-    # Deterministic per-row key: xxhash64 of ALL columns under two seeds
-    # (128-bit composite). monotonically_increasing_id here would be the
-    # SPARK-23207 failure class — a stage recompute after shuffle-fetch
+    # Deterministic per-row key: xxhash64 of the hashable columns under two
+    # seeds (128-bit composite). monotonically_increasing_id here would be
+    # the SPARK-23207 failure class — a stage recompute after shuffle-fetch
     # failure could renumber rows, duplicating/dropping assignments when the
     # uncached pts subtree is evaluated independently on both join branches.
-    # Byte-identical duplicate input rows share a key, which is safe: they
-    # are interchangeable and each receives the same (single) aggregated
-    # assignment from the groupBy below.
-    in_cols = [F.col(c) for c in points.columns]
+    # Rows that share a key are safe BECAUSE lat/lon are always hashed:
+    # key-colliding rows have identical coordinates, hence the identical
+    # (single) aggregated assignment from the groupBy below. Columns of
+    # types xxhash64 cannot digest (MapType) are skipped — they never
+    # affect the assignment.
+    def _has_map(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    in_cols = [F.col(f.name) for f in points.schema.fields
+               if not _has_map(f.dataType)]
     pts = (points
            .withColumn("__rg_row", F.xxhash64(*in_cols))
            .withColumn("__rg_row2", F.xxhash64(F.lit(1), *in_cols)))

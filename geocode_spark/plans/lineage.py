@@ -100,6 +100,22 @@ def run_with_lineage(
             raise ValueError(
                 f"lineage key column {key_col!r} must survive the transform "
                 "(it is the per-bucket lineage key)")
+        if "bucket" in result.columns:
+            raise ValueError(
+                "'bucket' is the reserved lineage partition column — rename "
+                "the transform output column")
+        # a todo bucket is by definition uncommitted for this
+        # (snapshot, version): clear any stale data now so a bucket that
+        # legitimately produces ZERO rows this run cannot inherit a prior
+        # run's files (dynamic overwrite only replaces partitions that are
+        # actually written). Manifests are written after the data, so a
+        # crash between this delete and the write just re-runs the bucket.
+        import shutil
+
+        for b in todo:
+            stale = out / f"bucket={b}"
+            if stale.exists():
+                shutil.rmtree(stale)
         bucketed = result.withColumn("bucket",
                                      _bucket_col(key_col, n_buckets))
         spark = df.sparkSession

@@ -293,8 +293,10 @@ def complex_region_records(n_regions: int = 64, n_vertices: int = 400,
     return recs
 
 
-def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
-    """Write every fixture parquet + prepared region artifacts."""
+def build_all(base_dir: str | Path = FIXTURE_DIR,
+              prepared_dir: str | Path | None = None) -> None:
+    """Write every fixture parquet + prepared region artifacts (the latter
+    under ``prepared_dir``, default ``<base>/prepared``)."""
     base = Path(base_dir)
     base.mkdir(parents=True, exist_ok=True)
 
@@ -362,7 +364,7 @@ def build_all(base_dir: str | Path = FIXTURE_DIR) -> None:
                           "xmax": max(xs), "ymax": max(ys)})
     pd.DataFrame(flat_rows).to_parquet(base / "complex_regions.parquet", index=False)
 
-    prep_dir = base / "prepared"
+    prep_dir = Path(prepared_dir) if prepared_dir else base / "prepared"
     # res 13 ~ production tuning: most covering cells interior (hash-probe
     # shortcut), boundary cells carry the exact 400-edge ray-cast
     save_prepared(prepare_regions(complex_recs, "complex", res=13), prep_dir)

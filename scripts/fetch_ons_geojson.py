@@ -46,24 +46,34 @@ def fetch_with_retry(url: str, fetch=None, retries: int = MAX_RETRIES,
             return fetch(url)
         except Exception as ex:  # noqa: BLE001 - retry any transport error
             last = ex
-            time.sleep(backoff * (attempt + 1))
+            if attempt < retries - 1:  # no pointless sleep after final try
+                time.sleep(backoff * (attempt + 1))
     raise RuntimeError(f"fetch failed after {retries} attempts: {last}")
 
 
-def paginate(base_url: str, fetch=None, page_size: int = PAGE_SIZE) -> dict:
+def paginate(base_url: str, fetch=None, page_size: int = PAGE_SIZE,
+             max_pages: int = 10_000) -> dict:
     """S4: page with resultOffset until exceededTransferLimit is falsy
-    (utilities.py:292-316); returns one merged FeatureCollection."""
+    (utilities.py:292-316); returns one merged FeatureCollection.
+
+    Bounded: an endpoint that keeps asserting exceededTransferLimit while
+    returning no features (cached error page, hard server cap) terminates
+    instead of spinning forever."""
     features = []
     offset = 0
-    while True:
+    for _ in range(max_pages):
         sep = "&" if "?" in base_url else "?"
         url = (f"{base_url}{sep}resultOffset={offset}"
                f"&resultRecordCount={page_size}")
         page = fetch_with_retry(url, fetch=fetch)
-        features.extend(page.get("features", []))
-        if not page.get("exceededTransferLimit", False):
+        got = page.get("features", [])
+        features.extend(got)
+        if not page.get("exceededTransferLimit", False) or not got:
             break
         offset += page_size
+    else:
+        raise RuntimeError(
+            f"paginate exceeded {max_pages} pages without completion")
     return {"type": "FeatureCollection", "features": features}
 
 
