@@ -17,7 +17,11 @@ Method map (reference -> here):
   reverse_geocode_nuts (geocode.py:169-195)      -> reverse_geocode_nuts
   reverse_geocode (geocode.py:283-308)           -> reverse_geocode dispatcher
   bng2latlon / latlon2bng (utilities.py:335-391) -> same names (DataFrame)
-  force_setup (geocode.py:380-392)               -> prepare (fixture/prep build)
+  force_setup (geocode.py:95-107)                -> force_setup
+  get_dno_regions (geocode.py:108-115)           -> get_dno_regions
+  get_gsp_regions (geocode.py:124-130)           -> get_gsp_regions
+  get_llsoa_boundaries (geocode.py:131-137)      -> get_llsoa_boundaries
+  reverse_geocode_gsp_20181031 (neso.py:303-343) -> reverse_geocode_gsp_20181031
   cache_manager.clear (cache_manager.py:86-119)  -> clear_prepared
 
 GMaps paths (geocode.py status codes 3/4; gmaps.py) are an external paid
@@ -377,7 +381,24 @@ class GeocoderSpark:
 
     # --- prepared-data lifecycle (cache_manager parity) -----------------------
 
+    def force_setup(self, neso_setup: bool = True, cpo_setup: bool = True,
+                    ons_setup: bool = True, eurostat_setup: bool = True
+                    ) -> None:
+        """force_setup parity (geocode.py:95-107): (re)build every fixture
+        table + prepared region artifact under data_dir/prepared_dir. The
+        reference downloads per-source datasets; here the synthetic build is
+        one deterministic job, so the per-source flags only gate whether a
+        full rebuild happens (any True -> rebuild all — the sources share
+        one fixture builder) and exist for signature parity."""
+        if neso_setup or cpo_setup or ons_setup or eurostat_setup:
+            from .sources.fixtures import build_all
+
+            build_all(self.data_dir, prepared_dir=self.prepared_dir)
+            self._cpo = None
+            self._preps.clear()
+
     def clear_prepared(self) -> None:
         """cache_manager.clear() analogue: drop prepared region artifacts."""
         if self.prepared_dir.exists():
             shutil.rmtree(self.prepared_dir)
+        self._preps.clear()

@@ -120,11 +120,18 @@ def prepare_regions_job(spark, args):
     import json as _json
 
     from .regions import prepare_regions, save_prepared
-    from .sources.loaders import geojson_to_records
+    from .sources.loaders import geojson_to_records, read_geojson_from_7z
 
-    fc = _json.loads(Path(args.infile).read_text())
     extra = tuple(args.attrs.split(",")) if args.attrs else ()
-    records = geojson_to_records(fc, args.id_property, extra)
+    if args.infile.endswith(".7z"):
+        # S3: GeoJSON member inside a 7z archive (ons_nrs.py:203-227)
+        if not args.member:
+            raise SystemExit("prepare_regions on a .7z needs --member")
+        records = read_geojson_from_7z(args.infile, args.member,
+                                       args.id_property, extra)
+    else:
+        fc = _json.loads(Path(args.infile).read_text())
+        records = geojson_to_records(fc, args.id_property, extra)
     prep = prepare_regions(records, args.name, crs=args.crs,
                            attrs_cols=list(extra) or None)
     save_prepared(prep, args.prepared)
@@ -214,6 +221,7 @@ def main(argv=None):
     p.add_argument("--infile")
     p.add_argument("--outfile")
     p.add_argument("--keep-version", dest="keep_version", default="")
+    p.add_argument("--member", default="")
     p.add_argument("--prepared", default="/root/repo/fixtures/prepared")
     p.add_argument("--fixtures", default="/root/repo/fixtures")
     p.add_argument("--datazones", action="store_true")

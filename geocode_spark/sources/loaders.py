@@ -108,21 +108,44 @@ def geojson_to_records(feature_collection: dict, id_property: str,
     return records
 
 
+def _extract_7z_member(archive: str | Path, member: str) -> bytes:
+    """Driver-side 7z member extract: py7zr when installed (full format
+    coverage incl. filters/encryption), else the built-in from-scratch
+    reader (sevenzip.py — Copy/LZMA1/LZMA2 single-coder archives, the shape
+    `7z a` produces for the reference's data files)."""
+    try:
+        import py7zr
+
+        staging = Path(tempfile.mkdtemp(prefix="sevenz_"))
+        with py7zr.SevenZipFile(archive, mode="r") as z:
+            z.extract(path=staging, targets=[member])
+        return (staging / member).read_bytes()
+    except ImportError:
+        from .sevenzip import extract_member
+
+        return extract_member(archive, member)
+
+
 def read_csv_from_7z(spark: SparkSession, archive: str | Path, member: str,
                      **csv_kwargs) -> DataFrame:
-    """S2: extract one CSV member of a .7z archive (utilities.py:450-487).
-    py7zr is not available in this container — the Spark-side plumbing is
-    identical to load_cpo_zip once extraction succeeds."""
-    try:
-        import py7zr  # noqa: F401
-    except ImportError as ex:
-        raise NotImplementedError(
-            "7z extraction requires py7zr, which is not installed in this "
-            "environment; stage the member as CSV/parquet instead") from ex
-    staging = Path(tempfile.mkdtemp(prefix="sevenz_"))
-    with py7zr.SevenZipFile(archive, mode="r") as z:
-        z.extract(path=staging, targets=[member])
-    return spark.read.csv(str(staging / member), **csv_kwargs)
+    """S2: extract one CSV member of a .7z archive (utilities.py:450-487);
+    the Spark-side plumbing is identical to load_cpo_zip once extraction
+    succeeds."""
+    staging = Path(tempfile.mkdtemp(prefix="sevenz_")) / Path(member).name
+    staging.write_bytes(_extract_7z_member(archive, member))
+    return spark.read.csv(str(staging), **csv_kwargs)
+
+
+def read_geojson_from_7z(archive: str | Path, member: str,
+                         id_property: str = "region_id",
+                         extra_properties: tuple = ()) -> list[dict]:
+    """S3: extract a GeoJSON member of a .7z archive and decode it into
+    region records for prepare_regions (utilities.py:433-447 +
+    ons_nrs.py:203-227)."""
+    import json as _json
+
+    fc = _json.loads(_extract_7z_member(archive, member).decode("utf-8"))
+    return geojson_to_records(fc, id_property, extra_properties)
 
 
 def read_pages(spark: SparkSession, source: str) -> DataFrame:

@@ -184,7 +184,8 @@ def main():
         "JIT with small runs first, then times the full-size runs — the",
         "steady-state a long-lived cluster job operates in. Sizes:",
         f"points={os.environ.get('BENCH_POINTS', '4000000')}, "
-        f"docs={os.environ.get('BENCH_DOCS', '200000')}.",
+        f"docs={os.environ.get('BENCH_DOCS', '200000')}, "
+        f"minhash_docs={os.environ.get('BENCH_MINHASH', '80000')}.",
     ]
     (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
     print(json.dumps(summary))

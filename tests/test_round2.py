@@ -104,6 +104,23 @@ class TestFacadeParity:
             == "S00101253"
 
 
+class TestForceSetup:
+    def test_force_setup_builds_into_fresh_dirs(self, spark, tmp_path):
+        """force_setup parity (geocode.py:95-107): a fresh data dir becomes
+        fully usable — prepared artifacts + dimension tables — and queries
+        answer golden values from it."""
+        g = GeocoderSpark(spark, data_dir=str(tmp_path / "fx"),
+                          prepared_dir=str(tmp_path / "prep"))
+        g.force_setup()
+        assert (tmp_path / "prep" / "llsoa" / "meta.json").exists()
+        df = spark.createDataFrame(
+            [(0, 54.547777, -1.195629)],
+            "row_id long, latitude double, longitude double")
+        assert g.reverse_geocode_llsoa(df).collect()[0].llsoa == "E01012082"
+        g.clear_prepared()
+        assert not (tmp_path / "prep").exists()
+
+
 class TestDedupGuards:
     def test_stop_gram_cap_bounds_hot_gram(self, spark):
         from geocode_spark.operators.dedup import ngram_jaccard_all_pairs
