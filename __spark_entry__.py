@@ -13,6 +13,7 @@ boundaries, so results are bit-comparable.
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -523,6 +524,32 @@ def q_set_ops(spark, sf_dir):
         .select(F.col("o_custkey").alias("custkey"))
 
 
+def q_stream_mention_counts(spark, sf_dir):
+    """Structured Streaming end-to-end with a value oracle: file stream ->
+    watermark -> explode mentions -> tumbling-window counts, drained with
+    trigger(availableNow) into a memory sink in complete mode. On bounded
+    input the result equals the batch aggregation, so the DuckDB
+    date_trunc oracle is exact — upgrading §2.9 from pytest-only to
+    hash-verified."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from geocode_spark.streaming.geocode_stream import windowed_mention_counts
+
+    src = Path(tempfile.mkdtemp(prefix="stream_pages_"))
+    shutil.copy(f"{FIX}/pages.parquet", src / "part-0.parquet")
+    schema = spark.read.parquet(f"{FIX}/pages.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    counts = windowed_mention_counts(stream, window="1 hour",
+                                     watermark="2 hours")
+    name = f"mentions_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
 def q_events_rollup(spark, sf_dir):
     """Rollup aggregation (subtotals + grand total) — beyond the reference's
     flat groupbys; NULL grouping indicator hash-compared with the oracle."""
@@ -608,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_nation": q_orders_by_nation,
         "top_orders_window": q_top_orders_window,
         "events_hourly": q_events_hourly,
+        "stream_mention_counts": q_stream_mention_counts,
         "events_rollup": q_events_rollup,
         "customers_no_orders": q_customers_no_orders,
         "urgent_customers_semi": q_urgent_customers_semi,
@@ -1067,6 +1095,19 @@ SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
+"""
+
+    # streaming windowed counts on bounded input == batch aggregation:
+    # window('1 hour').start == date_trunc('hour', ts) for tumbling windows
+    sql["stream_mention_counts"] = f"""
+WITH m AS (
+  SELECT warc_ts,
+         replace(unnest(regexp_extract_all(upper(text), '{regex}', 0)),
+                 ' ', '') AS postcode
+  FROM {pages})
+SELECT date_trunc('hour', warc_ts) AS window_start, postcode,
+       count(*) AS n_mentions
+FROM m GROUP BY 1, 2
 """
 
     sql["events_rollup"] = """

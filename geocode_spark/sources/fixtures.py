@@ -368,7 +368,11 @@ def build_all(base_dir: str | Path = FIXTURE_DIR,
     # res 13 ~ production tuning: most covering cells interior (hash-probe
     # shortcut), boundary cells carry the exact 400-edge ray-cast
     save_prepared(prepare_regions(complex_recs, "complex", res=13), prep_dir)
-    save_prepared(prepare_regions(LLSOA_RECORDS, "llsoa"), prep_dir)
+    # res pinned: the auto pick moved 17 -> 16 when the 6th (Scottish OA)
+    # region shifted the median extent, costing ~50% pipeline throughput
+    # (fewer interior cells => more exact ray-casts). 17 keeps the
+    # interior-cell shortcut rate of the 5-region vintage.
+    save_prepared(prepare_regions(LLSOA_RECORDS, "llsoa", res=17), prep_dir)
     save_prepared(prepare_regions(dno_records, "dno", attrs_cols=["Name"]),
                   prep_dir)
     # versioned vintages exactly as the reference's mocked setup writes them
@@ -377,7 +381,8 @@ def build_all(base_dir: str | Path = FIXTURE_DIR,
         save_prepared(prepare_regions(GSP_RECORDS, f"gsp_{version}",
                                       attrs_cols=["GSPs", "GSPGroup"]), prep_dir)
     for version in ["2011", "2021"]:
-        save_prepared(prepare_regions(LLSOA_RECORDS, f"llsoa_{version}"), prep_dir)
+        save_prepared(prepare_regions(LLSOA_RECORDS, f"llsoa_{version}",
+                                      res=17), prep_dir)
     save_prepared(prepare_regions(GSP_RECORDS, "gsp", attrs_cols=["GSPs", "GSPGroup"]),
                   prep_dir)
     # 20181031 vintage prepared from BNG source geometry (EPSG:27700 branch:
