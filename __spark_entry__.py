@@ -466,6 +466,18 @@ def q_ann_topk_lsh(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN scale path (seeded centroids -> rows-only check like the
+    other approximate ops; exactness is covered by ann_topk)."""
+    from geocode_spark.operators.similarity import ivf_topk
+
+    emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=4)
+    return out.select("query_id", "vec_id", "rank")
+
+
 def q_cosine_pairs(spark, sf_dir):
     from geocode_spark.operators.dedup import embedding_cosine_pairs
 
@@ -630,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "cosine_pairs": q_cosine_pairs,
         "pricing_summary": q_pricing_summary,
         "orders_by_nation": q_orders_by_nation,

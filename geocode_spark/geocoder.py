@@ -117,9 +117,11 @@ class GeocoderSpark:
         return centroid_lookup(names, self._table("lad_centroids.parquet"),
                                name_col, "name", normalize=True)
 
-    def geocode(self, keys: DataFrame, entity: str, key_col: str | None = None
-                ) -> DataFrame:
-        """Dispatcher parity with geocode.py:247-281."""
+    def geocode(self, keys: DataFrame, entity: str, key_col: str | None = None,
+                **kw) -> DataFrame:
+        """Dispatcher parity with geocode.py:247-281 — extra kwargs forward
+        to the entity method exactly like the reference (e.g.
+        ``geocode(df, 'postcode', method='cpo')``)."""
         dispatch = {
             "postcode": (self.geocode_postcode, "postcode"),
             "llsoa": (self.geocode_llsoa, "llsoa"),
@@ -131,7 +133,7 @@ class GeocoderSpark:
                 f"The entity '{entity}' is not supported"  # geocode.py:269 analogue
             )
         fn, default_col = dispatch[entity]
-        return fn(keys, key_col or default_col)
+        return fn(keys, key_col or default_col, **kw)
 
     # --- reverse geocode ----------------------------------------------------
 

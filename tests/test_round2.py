@@ -201,6 +201,50 @@ class TestLineageSinglePass:
         assert back.count() == 500 and "bucket" in back.columns
 
 
+class TestCliLifecycle:
+    def test_clear_cache_job(self, spark, tmp_path, fixture_dir):
+        """clear-cache parity (geocode.py:521-557): stale versions dropped,
+        kept version survives."""
+        import shutil
+        from types import SimpleNamespace
+
+        from geocode_spark.jobs import clear_cache_job
+
+        prep = tmp_path / "prepared"
+        for name in ["gsp_2022", "gsp_2026", "llsoa_2021"]:
+            shutil.copytree(fixture_dir / "prepared" / "gsp", prep / name)
+        args = SimpleNamespace(prepared=str(prep), keep_version="2026",
+                               name="gsp")
+        clear_cache_job(spark, args)
+        assert sorted(p.name for p in prep.iterdir()) == ["gsp_2026",
+                                                          "llsoa_2021"]
+
+    def test_prepare_regions_job_from_7z(self, spark, tmp_path):
+        """S3 end-to-end through the CLI: 7z GeoJSON -> prepared artifacts."""
+        import json
+        from types import SimpleNamespace
+
+        from geocode_spark.jobs import prepare_regions_job
+        from geocode_spark.regions import load_prepared
+        from geocode_spark.sources.sevenzip import write_7z
+
+        fc = {"type": "FeatureCollection", "features": [{
+            "type": "Feature", "properties": {"region_id": "Z1"},
+            "geometry": {"type": "Polygon",
+                         "coordinates": [[[0, 50], [1, 50], [1, 51], [0, 51]]]},
+        }]}
+        ar = tmp_path / "b.7z"
+        write_7z(ar, {"regions.geojson": json.dumps(fc).encode()},
+                 solid=True, encode_header=True)
+        args = SimpleNamespace(infile=str(ar), member="regions.geojson",
+                               name="z", crs="EPSG:4326", attrs="",
+                               id_property="region_id",
+                               prepared=str(tmp_path / "prep"))
+        prepare_regions_job(spark, args)
+        prep = load_prepared("z", tmp_path / "prep")
+        assert prep.n_regions == 1 and "Z1" in prep.geoms
+
+
 class TestIngestScript:
     def test_paginate_merges_pages(self):
         import sys
