@@ -28,7 +28,8 @@ def test_queries_have_oracles_or_are_flagged(spark):
     assert set(oracles) <= set(qs)
     no_oracle = set(qs) - set(oracles)
     # only the seeded/approximate ops may omit an oracle
-    assert no_oracle <= {"minhash_pairs", "simhash_pairs", "ann_topk_lsh"}
+    assert no_oracle <= {"minhash_pairs", "simhash_pairs", "ann_topk_lsh",
+                         "ann_topk_ivf"}
 
 
 def test_prepare_cpo_matches_fixture_oracle(spark, fixture_dir):
