@@ -243,6 +243,26 @@ def q_latlon2bng(spark, sf_dir):
                       F.round("northings", 1).alias("northings"))
 
 
+def q_bng2latlon(spark, sf_dir):
+    """F6 inverse CRS kernel (the direction region prep depends on):
+    synthetic GB-range E/N grid -> WGS84, vs an independent DuckDB
+    transcription of the OS inverse formulas (10-step meridional-arc
+    iteration + inverse Helmert + 8-step geodetic iteration, exactly
+    crs.py's fixed iteration counts). Compared at 5 dp (~0.5 m)."""
+    from geocode_spark.geocoder import GeocoderSpark
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = events.select(
+        F.col("event_id").alias("row_id"),
+        (F.lit(150000.0) + (F.col("event_id") % 1000) * F.lit(400.0)).alias("eastings"),
+        (F.lit(50000.0) + (F.col("event_id") % 997) * F.lit(900.0)).alias("northings"),
+    )
+    out = GeocoderSpark(spark).bng2latlon(pts, "eastings", "northings")
+    return out.select("row_id",
+                      F.round("latitude", 5).alias("latitude"),
+                      F.round("longitude", 5).alias("longitude"))
+
+
 def q_cell_index(spark, sf_dir):
     from geocode_spark.functions.udfs import cell_ij_udf
 
@@ -622,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode_nuts3_2016": q_reverse_geocode_nuts3_2016,
         "reverse_geocode_gsp_20181031": q_reverse_geocode_gsp_20181031,
         "latlon2bng": q_latlon2bng,
+        "bng2latlon": q_bng2latlon,
         "cell_index": q_cell_index,
         "extract_postcodes": q_extract_postcodes,
         "forward_geocode": q_forward_geocode,
@@ -850,6 +871,102 @@ SELECT row_id,
        round(ti + tii * dl * dl + tiii * dl * dl * dl * dl
              + tiiia * dl * dl * dl * dl * dl * dl, 1) AS northings
 FROM terms
+"""
+
+    # F6 inverse: National Grid E/N -> WGS84, the same OS formula chain
+    # crs.py runs (TM inverse with 10 fixed meridional-arc iterations,
+    # inverse 7-param Helmert, 8 fixed geodetic iterations on WGS84).
+    def _arc(lat):
+        """OS meridional arc M (b*F0*m) for Airy, as a SQL expression."""
+        return (
+            f"(6356256.909e0 * 0.9996012717e0 * ("
+            f"(1e0 + {_na} + 1.25e0 * {_na} * {_na} + 1.25e0 * {_na} * {_na} * {_na})"
+            f" * (({lat}) - radians(49e0))"
+            f" - (3e0 * {_na} + 3e0 * {_na} * {_na} + (21e0/8e0) * {_na} * {_na} * {_na})"
+            f" * sin(({lat}) - radians(49e0)) * cos(({lat}) + radians(49e0))"
+            f" + ((15e0/8e0) * ({_na} * {_na} + {_na} * {_na} * {_na}))"
+            f" * sin(2e0 * (({lat}) - radians(49e0))) * cos(2e0 * (({lat}) + radians(49e0)))"
+            f" - (35e0/24e0) * {_na} * {_na} * {_na}"
+            f" * sin(3e0 * (({lat}) - radians(49e0))) * cos(3e0 * (({lat}) + radians(49e0)))"
+            f"))")
+
+    _af0 = "(6377563.396e0 * 0.9996012717e0)"
+    sql["bng2latlon"] = f"""
+WITH RECURSIVE
+pts AS (
+  SELECT event_id AS row_id,
+         150000e0 + (event_id % 1000) * 400e0 AS e,
+         50000e0 + (event_id % 997) * 900e0 AS n
+  FROM events),
+itm AS (
+  SELECT row_id, e, n, 0 AS i,
+         radians(49e0) + (n - (-100000e0)) / {_af0} AS lat
+  FROM pts
+  UNION ALL
+  SELECT row_id, e, n, i + 1,
+         lat + (n - (-100000e0) - {_arc('lat')}) / {_af0}
+  FROM itm WHERE i < 10),
+tmlat AS (SELECT row_id, e, lat FROM itm WHERE i = 10),
+terms AS (
+  SELECT row_id, lat, e - 400000e0 AS de,
+         tan(lat) AS tl, 1e0 / cos(lat) AS sec,
+         {_af0} / sqrt(1e0 - {_e2a} * sin(lat) * sin(lat)) AS nu,
+         {_af0} * (1e0 - {_e2a})
+           * pow(1e0 - {_e2a} * sin(lat) * sin(lat), -1.5e0) AS rho
+  FROM tmlat),
+os36 AS (
+  SELECT row_id,
+         lat - (tl / (2e0 * rho * nu)) * de * de
+             + (tl / (24e0 * rho * nu * nu * nu)
+                * (5e0 + 3e0 * tl * tl + (nu / rho - 1e0)
+                   - 9e0 * tl * tl * (nu / rho - 1e0))) * de * de * de * de
+             - (tl / (720e0 * rho * nu * nu * nu * nu * nu)
+                * (61e0 + 90e0 * tl * tl + 45e0 * tl * tl * tl * tl))
+               * de * de * de * de * de * de AS lat36,
+         radians(-2e0)
+             + (sec / nu) * de
+             - (sec / (6e0 * nu * nu * nu) * (nu / rho + 2e0 * tl * tl))
+               * de * de * de
+             + (sec / (120e0 * nu * nu * nu * nu * nu)
+                * (5e0 + 28e0 * tl * tl + 24e0 * tl * tl * tl * tl))
+               * de * de * de * de * de
+             - (sec / (5040e0 * nu * nu * nu * nu * nu * nu * nu)
+                * (61e0 + 662e0 * tl * tl + 1320e0 * tl * tl * tl * tl
+                   + 720e0 * tl * tl * tl * tl * tl * tl))
+               * de * de * de * de * de * de * de AS lon36
+  FROM terms),
+cart AS (
+  SELECT row_id,
+         6377563.396e0 / sqrt(1e0 - {_e2a} * sin(lat36) * sin(lat36)) AS nu,
+         lat36, lon36
+  FROM os36),
+xyz AS (
+  SELECT row_id,
+         nu * cos(lat36) * cos(lon36) AS x,
+         nu * cos(lat36) * sin(lon36) AS y,
+         (1e0 - {_e2a}) * nu * sin(lat36) AS z
+  FROM cart),
+helm AS (
+  SELECT row_id,
+         446.448e0 + (1e0 - 20.4894e-6) * x - radians(0.8421e0/3600e0) * y
+                   + radians(0.2470e0/3600e0) * z AS x2,
+         -125.157e0 + radians(0.8421e0/3600e0) * x + (1e0 - 20.4894e-6) * y
+                    - radians(0.1502e0/3600e0) * z AS y2,
+         542.060e0 - radians(0.2470e0/3600e0) * x
+                   + radians(0.1502e0/3600e0) * y
+                   + (1e0 - 20.4894e-6) * z AS z2
+  FROM xyz),
+pp AS (SELECT row_id, x2, y2, z2, sqrt(x2 * x2 + y2 * y2) AS p FROM helm),
+itg AS (
+  SELECT row_id, p, z2, 0 AS i, atan2(z2, p * (1e0 - {_e2w})) AS lat FROM pp
+  UNION ALL
+  SELECT row_id, p, z2, i + 1,
+         atan2(z2 + {_e2w} * (6378137e0 / sqrt(1e0 - {_e2w} * sin(lat) * sin(lat))) * sin(lat), p)
+  FROM itg WHERE i < 8)
+SELECT t.row_id,
+       round(degrees(t.lat), 5) AS latitude,
+       round(degrees(atan2(h.y2, h.x2)), 5) AS longitude
+FROM itg t JOIN pp h USING (row_id) WHERE t.i = 8
 """
 
     sql["cell_index"] = f"""
