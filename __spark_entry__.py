@@ -461,6 +461,21 @@ def q_lang_id(spark, sf_dir):
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Fingerprint partition semantics: docs share a fingerprint iff their
+    whitespace-normalized lowercased text is identical. The oracle groups by
+    the normalized TEXT itself (it cannot reproduce Spark's xxhash64), so
+    group cardinalities and representatives must coincide exactly."""
+    from geocode_spark.operators.text import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (with_fingerprint(docs)
+            .groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("min_id"),
+                 F.count("*").alias("n_docs"))
+            .select("min_id", "n_docs"))
+
+
 def _double_vecs(df):
     return df.withColumn("embedding",
                          F.expr("transform(embedding, x -> cast(x as double))"))
@@ -661,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1159,6 +1175,15 @@ SELECT doc_id,
             WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
             ELSE 'es' END AS lang_pred
 FROM s
+"""
+
+    sql["doc_fingerprint"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+  FROM documents)
+SELECT min(doc_id) AS min_id, count(*) AS n_docs
+FROM t GROUP BY norm
 """
 
     sql["ann_topk"] = """

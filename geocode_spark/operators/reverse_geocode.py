@@ -235,11 +235,12 @@ def reverse_geocode(
         # deterministic salt key only: a nondeterministic component (e.g.
         # monotonically_increasing_id) would re-route rows differently when
         # a stage is recomputed after shuffle-fetch failure, duplicating or
-        # dropping rows (the SPARK-23207 failure class)
+        # dropping rows (the SPARK-23207 failure class). Repartition on the
+        # FULL 64-bit hash — pre-folding it with pmod(n) would leave only n
+        # distinct keys for the partitioner's own hash to spread, which
+        # collides (birthday) and leaves partitions empty.
         points = points.repartition(
-            salt_partitions,
-            F.pmod(F.xxhash64(F.col(lat_col), F.col(lon_col)),
-                   F.lit(salt_partitions)))
+            salt_partitions, F.xxhash64(F.col(lat_col), F.col(lon_col)))
 
     if strategy == "fused":
         keep_fields = (points.schema.fields if output_cols is None else

@@ -121,6 +121,37 @@ class TestForceSetup:
         assert not (tmp_path / "prep").exists()
 
 
+class TestSkewSalting:
+    def test_salt_rebalances_clustered_input(self, spark, fixture_dir):
+        """North-rule skew control: a crawl sharded by site puts all of one
+        city in one partition; salt_partitions must spread it so every
+        fused-path worker gets comparable work. Deterministic salt only —
+        recompute-safe (SPARK-23207)."""
+        import pyspark.sql.functions as F
+
+        from geocode_spark.regions import load_prepared
+        from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+        prep = load_prepared("llsoa", fixture_dir / "prepared")
+        # 20k points clustered inside ONE region, all in ONE partition
+        pts = (spark.range(20000).coalesce(1)
+               .select(F.col("id").alias("row_id"),
+                       (F.lit(51.571) + (F.col("id") % 97) * F.lit(0.00008))
+                       .alias("latitude"),
+                       (F.lit(-0.069) + (F.col("id") % 89) * F.lit(0.0001))
+                       .alias("longitude")))
+        out = reverse_geocode(pts, prep, salt_partitions=8)
+        sizes = [r.n for r in out.groupBy(F.spark_partition_id())
+                 .agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) == 8
+        assert max(sizes) < 2 * min(sizes), sizes
+        # same assignments as the unsalted run
+        a = {r.row_id: r.region_id for r in out.collect()}
+        b = {r.row_id: r.region_id
+             for r in reverse_geocode(pts, prep).collect()}
+        assert a == b
+
+
 class TestDedupGuards:
     def test_stop_gram_cap_bounds_hot_gram(self, spark):
         from geocode_spark.operators.dedup import ngram_jaccard_all_pairs
