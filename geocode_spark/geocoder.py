@@ -137,15 +137,25 @@ class GeocoderSpark:
 
     # --- reverse geocode ----------------------------------------------------
 
-    def _prep_versioned(self, label: str, version: str | None):
-        """Versioned prepared set (gsp_20260209 etc.), falling back to the
-        unversioned artifact when no vintage is materialized."""
-        if version is not None:
-            try:
-                return self._prep(f"{label}_{version}")
-            except FileNotFoundError:
-                pass
-        return self._prep(label)
+    def _prep_versioned(self, label: str, version: str | None,
+                        default_version: str | None = None):
+        """Versioned prepared set (gsp_20260209 etc.). Falling back to the
+        unversioned artifact is allowed ONLY for the dataset's DEFAULT
+        vintage (back-compat with pre-vintage prepared dirs, whose
+        unversioned geometry IS the default) — serving the default geometry
+        for an explicitly different vintage would be a wrong answer, not a
+        fallback."""
+        if version is None:
+            return self._prep(label)
+        try:
+            return self._prep(f"{label}_{version}")
+        except FileNotFoundError:
+            if version == default_version:
+                return self._prep(label)
+            raise FileNotFoundError(
+                f"prepared set '{label}_{version}' not found under "
+                f"{self.prepared_dir} — run prepare_regions for that "
+                "vintage (no silent fallback to the default geometry)")
 
     def reverse_geocode_llsoa(self, latlons: DataFrame, dz: bool = True,
                               year: str = "2021",
@@ -160,7 +170,8 @@ class GeocoderSpark:
         points outside every boundary (sjoin_nearest parity,
         utilities.py:270-284). Unit = the prepared set's source CRS units
         (metres for BNG-sourced data); override with ``distance_unit``."""
-        out = reverse_geocode(latlons, self._prep_versioned("llsoa", year),
+        out = reverse_geocode(latlons,
+                              self._prep_versioned("llsoa", year, "2021"),
                               out_col=out_col, max_distance=max_distance,
                               distance_unit=distance_unit)
         if dz:
@@ -198,7 +209,7 @@ class GeocoderSpark:
             return self.reverse_geocode_gsp_20181031(
                 latlons, max_distance=max_distance,
                 distance_unit=distance_unit)
-        prep = self._prep_versioned("gsp", version)
+        prep = self._prep_versioned("gsp", version, "20260209")
         out = reverse_geocode(latlons, prep, out_col="gsp",
                               max_distance=max_distance,
                               distance_unit=distance_unit)
@@ -295,11 +306,13 @@ class GeocoderSpark:
 
     def get_gsp_regions(self, version: str = "20260209") -> DataFrame:
         """geocode.py:117-126 parity (returns the region table itself)."""
-        return self._regions_df(self._prep_versioned("gsp", version))
+        return self._regions_df(
+            self._prep_versioned("gsp", version, "20260209"))
 
     def get_llsoa_boundaries(self, year: str = "2021") -> DataFrame:
         """geocode.py:128-137 parity."""
-        return self._regions_df(self._prep_versioned("llsoa", year))
+        return self._regions_df(
+            self._prep_versioned("llsoa", year, "2021"))
 
     def get_dno_regions(self) -> DataFrame:
         """geocode.py:108-115 parity."""

@@ -88,18 +88,27 @@ def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,
         return out
     ex = x2 - x1
     ey = y2 - y1
+    if not metric:
+        # planar fast path: edge geometry is point-independent, so edge
+        # vectors and squared lengths are 1-D and computed ONCE
+        elen2 = ex * ex + ey * ey
+        elen2 = np.where(elen2 == 0.0, 1.0, elen2)
     for s in range(0, px.shape[0], chunk):
         e = min(s + chunk, px.shape[0])
-        if metric:
-            c = np.cos(np.radians(py[s:e]))[:, None]
-        else:
-            c = np.ones((e - s, 1))
-        dxs = (px[s:e, None] - x1[None, :]) * c
         dys = py[s:e, None] - y1[None, :]
-        exs = ex[None, :] * c
-        elen2 = exs * exs + ey[None, :] * ey[None, :]
-        elen2 = np.where(elen2 == 0.0, 1.0, elen2)
-        t = np.clip((dxs * exs + dys * ey[None, :]) / elen2, 0.0, 1.0)
+        if metric:
+            # per-point anisotropic scale S = diag(cos(lat), 1): edge
+            # vectors (and their lengths) become point-dependent matrices
+            c = np.cos(np.radians(py[s:e]))[:, None]
+            dxs = (px[s:e, None] - x1[None, :]) * c
+            exs = ex[None, :] * c
+            el2 = exs * exs + ey[None, :] * ey[None, :]
+            el2 = np.where(el2 == 0.0, 1.0, el2)
+        else:
+            dxs = px[s:e, None] - x1[None, :]
+            exs = ex[None, :]
+            el2 = elen2[None, :]
+        t = np.clip((dxs * exs + dys * ey[None, :]) / el2, 0.0, 1.0)
         qx = dxs - t * exs
         qy = dys - t * ey[None, :]
         d = np.sqrt((qx * qx + qy * qy).min(axis=1))

@@ -397,9 +397,12 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             break
     if changed != 0:
         # the LAST allowed round may itself have reached the fixpoint —
-        # verify with one extra round before declaring failure
+        # verify with one extra round before declaring failure, and KEEP
+        # that round's labels either way (they are one round closer to the
+        # fixpoint; discarding computed work would hand back worse labels)
         probe, would_change = _round(labels)
-        probe.unpersist()
+        labels.unpersist()
+        labels = probe
         if would_change != 0:
             msg = (f"dup_clusters did not converge in {max_iters} rounds "
                    f"({would_change} labels still changing): some clusters "
@@ -450,9 +453,11 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         cond = F.col("id_a") < F.col("id_b")
     elif method == "bucketed":
         if dim is None:
-            # infer from one row — the auto path must not crash exactly at
-            # the scale it exists for
-            first = emb.select(vec_col).first()
+            # infer from one NON-NULL row — the auto path must not crash
+            # exactly at the scale it exists for (NULL vectors are tolerated
+            # everywhere else in this function)
+            first = emb.filter(F.col(vec_col).isNotNull()) \
+                       .select(vec_col).first()
             if first is None:
                 return norm.select(
                     F.col(id_col).alias("id_a"),

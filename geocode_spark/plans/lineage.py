@@ -84,6 +84,14 @@ def run_with_lineage(
                     and m.get("operator_version") == operator_version
                     and m.get("committed")):
                 committed[b] = m
+            else:
+                # the bucket is being recomputed for a different
+                # (snapshot, version): retract the old manifest BEFORE any
+                # data is touched, so a crash mid-run can never leave a
+                # committed manifest pointing at deleted/overwritten data
+                # (a later resume under the OLD snapshot must recompute,
+                # not trust it)
+                manifest_path.unlink()
 
     results = [BucketResult(b, m["rows"], 0.0, skipped=True)
                for b, m in committed.items()]

@@ -70,7 +70,10 @@ def paginate(base_url: str, fetch=None, page_size: int = PAGE_SIZE,
         features.extend(got)
         if not page.get("exceededTransferLimit", False) or not got:
             break
-        offset += page_size
+        # advance by what the server actually returned: endpoints cap pages
+        # at their own maxRecordCount regardless of resultRecordCount, and
+        # stepping by the REQUESTED size would silently skip records
+        offset += len(got)
     else:
         raise RuntimeError(
             f"paginate exceeded {max_pages} pages without completion")
