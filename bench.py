@@ -37,6 +37,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "4000000"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
+N_KNN = int(os.environ.get("BENCH_KNN_POINTS", "200000"))
 WARMUP = os.environ.get("BENCH_WARMUP", "1") != "0"
 
 
@@ -120,6 +121,30 @@ def main():
         return reverse_geocode(pts, cplx, output_cols=["row_id"]).filter(
             F.col("region_id").isNotNull()).count()
 
+    def run_knn(n):
+        """Metre-bounded nearest-region fallback (new in round 2): points
+        ring 0.26-0.36 deg off each blob centre — mostly outside every
+        polygon, so the perimeter-ring expansion + exact 400-vertex segment
+        distances dominate."""
+        import math
+
+        sq = spark.read.parquet(f"{FIX}/complex_regions.parquet").select(
+            "region_seq",
+            ((F.col("xmin") + F.col("xmax")) / 2).alias("cx"),
+            ((F.col("ymin") + F.col("ymax")) / 2).alias("cy"))
+        ids = spark.range(n).select(F.col("id").alias("row_id"))
+        pts = (ids.select(
+                   "row_id", (F.col("row_id") % 64).alias("sqi"),
+                   ((F.col("row_id") % 360) * F.lit(math.pi / 180.0)).alias("ang"),
+                   (F.lit(0.26) + (F.col("row_id") % 50) * F.lit(0.002)).alias("r"))
+               .join(F.broadcast(sq), F.col("sqi") == F.col("region_seq"))
+               .select("row_id",
+                       (F.col("cy") + F.col("r") * F.sin("ang")).alias("latitude"),
+                       (F.col("cx") + F.col("r") * F.cos("ang")).alias("longitude")))
+        out = reverse_geocode(pts, cplx, max_distance=30000.0,
+                              distance_unit="m", output_cols=["row_id"])
+        return out.filter(F.col("region_id").isNotNull()).count()
+
     # corpora are materialized (cached) OUTSIDE the timed region: the bench
     # measures the pipeline operators, not synthetic-data generation
     pipeline_corpus = make_pages(spark, N_DOCS).persist()
@@ -178,12 +203,14 @@ def main():
         # broadcast distribution and JIT once, outside the timed runs — a
         # long-lived cluster job amortizes these over hours
         run_reverse(CPUS * 4096)
+        run_knn(CPUS * 256)
         run_pipeline(pipeline_corpus.limit(4000))
         run_minhash(minhash_corpus.limit(2000))
         run_ann(2)
         run_pricing()
 
     queries["reverse_geocode_pts"], _ = bench(lambda: run_reverse(N_POINTS))
+    queries["knn_fallback"], _ = bench(lambda: run_knn(N_KNN))
     queries["pipeline_docs"], _ = bench(lambda: run_pipeline(pipeline_corpus))
     queries["minhash_dedup"], _ = bench(lambda: run_minhash(minhash_corpus))
     queries["ann_topk"], _ = bench(lambda: run_ann(16))
