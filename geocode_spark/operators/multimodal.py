@@ -101,6 +101,54 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16,
     return df.mapInPandas(run, schema=out_schema)
 
 
+def resize_media(df: DataFrame, binary_col: str = "html",
+                 width: int = 64, height: int = 64,
+                 resize_fn: Callable[[bytes, int, int], bytes] | None = None,
+                 strict: bool = False,
+                 out_col: str = "resized") -> DataFrame:
+    """Resize an image/binary payload to (width, height): adds ``out_col``
+    (binary) plus ``resized_width``/``resized_height``. The Spark plumbing
+    (Arrow batch shape, schema, columnar assembly) is real; the pixel
+    transform is STUBBED — the deterministic fake strides the payload down
+    to exactly width*height bytes (pad-repeats when shorter) so downstream
+    size accounting behaves like a real thumbnailer. A real implementation
+    passes ``resize_fn`` (e.g. PIL Image.resize); ``strict=True`` raises
+    instead of faking."""
+    if strict and resize_fn is None:
+        raise NotImplementedError(
+            "real image resize requires an imaging library not present in "
+            "this environment; pass resize_fn=")
+
+    def default_fn(payload: bytes, w: int, h: int) -> bytes:
+        if not payload:
+            return b"\x00" * (w * h)
+        b = np.frombuffer(bytes(payload), dtype=np.uint8)
+        # stride-sample to exactly w*h bytes (repeat-pad short payloads)
+        idx = (np.arange(w * h, dtype=np.int64) * max(len(b) // (w * h), 1)) \
+            % len(b)
+        return b[idx].tobytes()
+
+    fn = resize_fn or default_fn
+    out_schema = StructType(df.schema.fields + [
+        StructField(out_col, BinaryType()),
+        StructField("resized_width", IntegerType()),
+        StructField("resized_height", IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf.copy()
+            out[out_col] = [fn(p, width, height)
+                            for p in pdf[binary_col].tolist()]
+            out["resized_width"] = np.int32(width)
+            out["resized_height"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
                  frame_fn: Callable[[bytes, int], list] | None = None
                  ) -> DataFrame:

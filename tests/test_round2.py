@@ -204,6 +204,31 @@ class TestDedupGuards:
         assert {r.cluster_id for r in ok.collect()} == {0}
 
 
+class TestResizeMedia:
+    def test_stub_resize_shapes(self, spark, fixture_dir):
+        from geocode_spark.operators.multimodal import resize_media
+
+        pages = spark.read.parquet(str(fixture_dir / "pages.parquet")).limit(5)
+        out = resize_media(pages, binary_col="html", width=8, height=4)
+        rows = out.collect()
+        assert all(len(r.resized) == 32 for r in rows)
+        assert all((r.resized_width, r.resized_height) == (8, 4)
+                   for r in rows)
+        # strict path refuses to fake
+        import pytest as _pytest
+
+        with _pytest.raises(NotImplementedError):
+            resize_media(pages, strict=True)
+
+    def test_custom_resize_fn(self, spark, fixture_dir):
+        from geocode_spark.operators.multimodal import resize_media
+
+        pages = spark.read.parquet(str(fixture_dir / "pages.parquet")).limit(3)
+        out = resize_media(pages, binary_col="html", width=2, height=2,
+                           resize_fn=lambda b, w, h: bytes([len(b) % 256]) * (w * h))
+        assert all(len(r.resized) == 4 for r in out.collect())
+
+
 class TestLineageSinglePass:
     def test_key_must_survive_transform(self, spark, tmp_path):
         from geocode_spark.plans.lineage import run_with_lineage
