@@ -275,6 +275,30 @@ class TestCliLifecycle:
         assert sorted(p.name for p in prep.iterdir()) == ["gsp_2026",
                                                           "llsoa_2021"]
 
+    def test_geocode_pages_job_resume(self, spark, tmp_path, fixture_dir):
+        """North-star CLI job end-to-end on the single-pass lineage: first
+        run computes every bucket, second run resumes them all; output rows
+        stable across the resume."""
+        from types import SimpleNamespace
+
+        from geocode_spark.jobs import geocode_pages
+        from geocode_spark.plans.lineage import read_lineage
+
+        out = tmp_path / "gp"
+        args = SimpleNamespace(infile=str(fixture_dir / "pages.parquet"),
+                               outfile=str(out),
+                               prepared=str(fixture_dir / "prepared"),
+                               fixtures=str(fixture_dir),
+                               buckets=3, snapshot="s1")
+        geocode_pages(spark, args)
+        m1 = read_lineage(out)
+        assert len(m1) == 3 and all(m["committed"] for m in m1)
+        rows1 = spark.read.parquet(str(out)).count()
+        assert rows1 == sum(m["rows"] for m in m1) > 0
+        geocode_pages(spark, args)  # resume: nothing recomputed
+        assert spark.read.parquet(str(out)).count() == rows1
+        assert [m["ts"] for m in read_lineage(out)] == [m["ts"] for m in m1]
+
     def test_prepare_regions_job_from_7z(self, spark, tmp_path):
         """S3 end-to-end through the CLI: 7z GeoJSON -> prepared artifacts."""
         import json
