@@ -463,13 +463,29 @@ def q_lang_id(spark, sf_dir):
 
 def q_doc_fingerprint(spark, sf_dir):
     """Fingerprint partition semantics: docs share a fingerprint iff their
-    whitespace-normalized lowercased text is identical. The oracle groups by
-    the normalized TEXT itself (it cannot reproduce Spark's xxhash64), so
-    group cardinalities and representatives must coincide exactly."""
+    whitespace-normalized lowercased text is identical. The input is built
+    with FORCED case/whitespace variants of ~50 base texts (the raw sf
+    documents are all-distinct, which would make the check vacuous): three
+    variants per base must merge into one group iff normalization works.
+    The oracle groups by the normalized TEXT itself (it cannot reproduce
+    Spark's xxhash64), so group sizes and representatives must coincide.
+    Only space/tab whitespace is used — Java's \\s and RE2's \\s disagree
+    on \\x0B, so the variant text stays inside the common subset.
+
+    Expected classes: case + trailing-SPACE variants merge (2 of 3), while
+    the tab-tailed variant stays its own class, because trim() strips only
+    spaces and runs BEFORE the \\s+ collapse — a deliberate probe of that
+    ordering subtlety, reproduced identically in the SQL (100 groups)."""
     from geocode_spark.operators.text import with_fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return (with_fingerprint(docs)
+    base = F.concat(F.lit("Sample Text "), (F.col("doc_id") % 50).cast("string"))
+    variant = (F.when(F.col("doc_id") % 3 == 0, base)
+               .when(F.col("doc_id") % 3 == 1,
+                     F.concat(F.upper(base), F.lit("  ")))
+               .otherwise(F.concat(F.lit("  "), F.lower(base), F.lit(" \t"))))
+    inp = docs.select("doc_id", variant.alias("text"))
+    return (with_fingerprint(inp)
             .groupBy("fingerprint")
             .agg(F.min("doc_id").alias("min_id"),
                  F.count("*").alias("n_docs"))
@@ -1178,10 +1194,18 @@ FROM s
 """
 
     sql["doc_fingerprint"] = r"""
-WITH t AS (
+WITH v AS (
+  SELECT doc_id,
+         CASE doc_id % 3
+           WHEN 0 THEN 'Sample Text ' || CAST(doc_id % 50 AS VARCHAR)
+           WHEN 1 THEN upper('Sample Text ' || CAST(doc_id % 50 AS VARCHAR)) || '  '
+           ELSE '  ' || lower('Sample Text ' || CAST(doc_id % 50 AS VARCHAR)) || ' ' || chr(9)
+         END AS text
+  FROM documents),
+t AS (
   SELECT doc_id,
          regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
-  FROM documents)
+  FROM v)
 SELECT min(doc_id) AS min_id, count(*) AS n_docs
 FROM t GROUP BY norm
 """

@@ -235,12 +235,13 @@ def reverse_geocode(
         # deterministic salt key only: a nondeterministic component (e.g.
         # monotonically_increasing_id) would re-route rows differently when
         # a stage is recomputed after shuffle-fetch failure, duplicating or
-        # dropping rows (the SPARK-23207 failure class). Repartition on the
-        # FULL 64-bit hash — pre-folding it with pmod(n) would leave only n
-        # distinct keys for the partitioner's own hash to spread, which
-        # collides (birthday) and leaves partitions empty.
-        points = points.repartition(
-            salt_partitions, F.xxhash64(F.col(lat_col), F.col(lon_col)))
+        # dropping rows (the SPARK-23207 failure class). Repartition
+        # directly on the coordinate columns: HashPartitioning applies its
+        # own Murmur3 over the full values, which spreads clustered
+        # coordinates evenly — pre-folding with pmod(hash, n) would leave
+        # only n distinct keys for that hash and birthday-collide buckets.
+        points = points.repartition(salt_partitions,
+                                    F.col(lat_col), F.col(lon_col))
 
     if strategy == "fused":
         keep_fields = (points.schema.fields if output_cols is None else
