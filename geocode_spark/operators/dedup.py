@@ -214,9 +214,20 @@ def simhash(df: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
 
 
 def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
+                       max_hamming: int = 3,
+                       max_bucket_size: int | None = None) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, blocked on 16-bit chunks
-    (pigeonhole: distance<=3 pairs share at least one of 4 chunks)."""
+    (pigeonhole: distance<=3 pairs share at least one of 4 chunks).
+
+    ``max_bucket_size`` is the same skew guard as
+    ``lsh_candidate_pairs``: (chunk_pos, chunk) buckets larger than the cap
+    are dropped BEFORE the self-join, because pair blowup per bucket is
+    quadratic — a boilerplate-heavy web corpus concentrates near-identical
+    simhashes, and at 10^12 docs an average 16-bit bucket would hold
+    millions of rows. Recall trade when the cap binds: a qualifying pair
+    whose shared chunk lives in a dropped bucket is recovered only through
+    its other (up to 3) matching chunks if THOSE buckets are under the cap —
+    conservative, identical in kind to the LSH stop-bucket trade."""
     with_chunks = df.select(
         id_col, "simhash",
         F.posexplode(F.array(*[
@@ -224,6 +235,12 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
             for i in range(4)
         ])).alias("chunk_pos", "chunk"),
     )
+    if max_bucket_size is not None:
+        sizes = (with_chunks.groupBy("chunk_pos", "chunk")
+                 .agg(F.count("*").alias("__bn"))
+                 .filter(F.col("__bn") <= max_bucket_size)
+                 .drop("__bn"))
+        with_chunks = with_chunks.join(sizes, ["chunk_pos", "chunk"])
     l = with_chunks.alias("l")
     r = with_chunks.alias("r")
     cand = (
@@ -431,31 +448,43 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         <1 for low thresholds (pairs split across buckets are missed);
         near-dup thresholds (>=0.9, small angles) collide with high
         probability per bit. Requires ``dim``.
-      * ``"auto"``     — exact while the corpus is provably small
-        (count <= ``max_exact_rows``), bucketed beyond. The count is one
-        cheap aggregate; at web scale the bucketed branch always wins the
-        check, locally the exact branch keeps results oracle-checkable.
+      * ``"auto"``     — exact while the corpus is provably small,
+        bucketed beyond. The probe is BOUNDED: ``limit(max_exact_rows + 1)
+        .count()`` — at web scale the scan short-circuits after the limit
+        is hit instead of paying a full pass over the corpus just to pick a
+        branch. Callers that know they are at scale should still pass
+        ``method="bucketed"`` explicitly and skip even the bounded probe.
     """
     if method == "auto":
-        method = "exact" if emb.count() <= max_exact_rows else "bucketed"
+        probed = emb.limit(max_exact_rows + 1).count()
+        method = "exact" if probed <= max_exact_rows else "bucketed"
+    # Do NOT normalize the vectors with a transform lambda: putting the
+    # norm aggregate inside (or aliasing it and letting CollapseProject
+    # inline it back inside) re-evaluates the aggregate for every vector
+    # ELEMENT — O(d^2) per row on a 768-dim embedding. Instead carry the
+    # raw vector plus its norm as a COLUMN (one aggregate per row, the
+    # similarity.brute_force_topk pattern) and divide the pair dot product
+    # by the norm product. Cosine is scale-invariant, and so are the
+    # random-hyperplane sign sketches (sign(H·x) = sign(H·x/|x|)), so the
+    # bucketed path sketches the raw vectors unchanged.
     norm = emb.select(
         F.col(id_col),
-        F.transform(
-            vec_col,
-            lambda x: x / F.sqrt(F.aggregate(vec_col, F.lit(0.0),
-                                             lambda a, y: a + y * y))
-        ).alias("nv"),
+        F.col(vec_col).alias("nv"),
+        F.sqrt(F.aggregate(vec_col, F.lit(0.0),
+                           lambda a, y: a + y * y)).alias("__n"),
     )
-    cos = "aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    cos = ("aggregate(zip_with(v_a, v_b, (x, y) -> x * y), 0D, "
+           "(acc, v) -> acc + v)")
     if method == "exact":
-        a = norm.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"))
-        b = norm.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"))
+        a = norm.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"),
+                        F.col("__n").alias("n_a"))
+        b = norm.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"),
+                        F.col("__n").alias("n_b"))
         cond = F.col("id_a") < F.col("id_b")
     elif method == "bucketed":
         if dim is None:
             # infer from one NON-NULL row — the auto path must not crash
-            # exactly at the scale it exists for (NULL vectors are tolerated
-            # everywhere else in this function)
+            # exactly at the scale it exists for
             first = emb.filter(F.col(vec_col).isNotNull()) \
                        .select(vec_col).first()
             if first is None:
@@ -466,18 +495,25 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
             dim = len(first[0])
         from .similarity import lsh_buckets
 
-        sk = lsh_buckets(norm, dim=dim, bits=bits, vec_col="nv", seed=seed,
+        # NULL embeddings can never clear a positive cosine threshold, and
+        # the sketch UDF's np.stack would raise on a None vector — drop
+        # them BEFORE bucketing (the exact path tolerates them because the
+        # cosine expression just evaluates to NULL and the filter drops it)
+        sk = lsh_buckets(norm.filter(F.col("nv").isNotNull()),
+                         dim=dim, bits=bits, vec_col="nv", seed=seed,
                          out_col="__bkt")
         a = sk.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"),
-                      F.col("__bkt").alias("b_a"))
+                      F.col("__n").alias("n_a"), F.col("__bkt").alias("b_a"))
         b = sk.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"),
-                      F.col("__bkt").alias("b_b"))
+                      F.col("__n").alias("n_b"), F.col("__bkt").alias("b_b"))
         cond = (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))
     else:
         raise ValueError(f"unknown method {method!r}")
     return (
         a.join(b, cond)
-        .withColumn("cosine", F.expr(cos))
+        .withColumn("cosine",
+                    F.when((F.col("n_a") > 0) & (F.col("n_b") > 0),
+                           F.expr(cos) / (F.col("n_a") * F.col("n_b"))))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )

@@ -345,8 +345,15 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
             return any(_has_map(f.dataType) for f in dt.fields)
         return False
 
-    in_cols = [F.col(f.name) for f in points.schema.fields
-               if not _has_map(f.dataType)]
+    # Spark hash functions SKIP null arguments (no null marker is mixed in),
+    # so two distinct rows could share a key when a NULL shifts identical
+    # hash-input values across adjacent columns. Interleave a never-null
+    # isnull flag before each column: each column contributes either
+    # [1] (null) or [0, value] — a prefix-free token stream, so null
+    # placement always changes the digest.
+    in_cols = [part
+               for f in points.schema.fields if not _has_map(f.dataType)
+               for part in (F.isnull(f.name).cast("int"), F.col(f.name))]
     pts = (points
            .withColumn("__rg_row", F.xxhash64(*in_cols))
            .withColumn("__rg_row2", F.xxhash64(F.lit(1), *in_cols)))

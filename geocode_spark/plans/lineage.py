@@ -14,9 +14,23 @@ DataFrame-producing job with per-bucket lineage in ONE pass over the input:
 * per-bucket row counts come from the written parquet FOOTERS (metadata
   only, no data re-scan);
 * a manifest ``_lineage/bucket=<i>.json`` is committed AFTER the data, with
-  input snapshot id, operator version, row count and timings; on restart,
-  buckets with a committed manifest for the same (snapshot, version) are
-  skipped.
+  input snapshot id, operator version, bucket count, row count and timings;
+  on restart, buckets with a committed manifest for the same
+  (snapshot, version, n_buckets) are skipped.
+
+All manifest/bucket/footer I/O goes through the Hadoop FileSystem API
+(``plans/fsio.py``) — the SAME abstraction the executors write data
+through — so the module works unchanged against file://, hdfs:// and
+s3a:// out_dirs. A 100 TB resumable job writes to cluster storage; a
+lineage layer that only understood the driver's local disk would be
+decorative.
+
+``n_buckets`` is part of the lineage identity: manifests stamp it, and a
+re-run with a DIFFERENT bucket count fully invalidates the output first
+(all manifests retracted, all ``bucket=*`` dirs removed). Without that, a
+shrink from 8 to 4 buckets would leave ``bucket=4..7`` data and manifests
+in place and ``spark.read.parquet(out)`` would silently double-count them
+alongside the re-bucketed rows.
 
 Contract: ``transform`` must be key-local — every output row derives only
 from input rows of a single ``key_col`` value, and ``key_col`` must survive
@@ -37,6 +51,8 @@ from typing import Callable
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from .fsio import FsPath
+
 
 @dataclass
 class BucketResult:
@@ -50,16 +66,6 @@ def _bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
 
 
-def _footer_rows(bucket_dir: Path) -> int:
-    """Row count from parquet footer metadata — no data scan."""
-    import pyarrow.parquet as pq
-
-    if not bucket_dir.exists():
-        return 0
-    return sum(pq.ParquetFile(str(f)).metadata.num_rows
-               for f in bucket_dir.glob("*.parquet"))
-
-
 def run_with_lineage(
     df: DataFrame,
     out_dir: str | Path,
@@ -70,28 +76,48 @@ def run_with_lineage(
     operator_version: str = "1",
 ) -> list[BucketResult]:
     """Execute ``transform`` over hash buckets of ``df`` with resume."""
-    out = Path(out_dir)
-    lineage_dir = out / "_lineage"
-    lineage_dir.mkdir(parents=True, exist_ok=True)
+    spark = df.sparkSession
+    out = FsPath(spark, str(out_dir))
+    lineage_dir = out.child("_lineage")
+    lineage_dir.mkdirs()
     transform = transform or (lambda d: d)
+
+    # ---- load prior manifests; enforce the n_buckets identity first ----
+    manifests: dict[int, tuple[FsPath, dict]] = {}
+    for name in lineage_dir.list_names("bucket=*.json"):
+        mp = lineage_dir.child(name)
+        m = json.loads(mp.read_text())
+        manifests[int(m["bucket"])] = (mp, m)
+    if any(m.get("n_buckets") != n_buckets for _, m in manifests.values()):
+        # bucket-count change: the hash partitioning itself moved — every
+        # prior bucket is invalid. Retract ALL manifests before touching
+        # data (crash-safe ordering: no committed manifest may ever point
+        # at data this run deletes or overwrites), then remove all bucket
+        # dirs, including ids beyond the new n_buckets that a plain re-run
+        # would never visit but a parquet read of <out> would still sweep.
+        for mp, _ in manifests.values():
+            mp.delete_recursive()
+        for name in out.list_names("bucket=*"):
+            out.child(name).delete_recursive()
+        manifests = {}
 
     committed: dict[int, dict] = {}
     for b in range(n_buckets):
-        manifest_path = lineage_dir / f"bucket={b}.json"
-        if manifest_path.exists():
-            m = json.loads(manifest_path.read_text())
-            if (m.get("snapshot_id") == snapshot_id
-                    and m.get("operator_version") == operator_version
-                    and m.get("committed")):
-                committed[b] = m
-            else:
-                # the bucket is being recomputed for a different
-                # (snapshot, version): retract the old manifest BEFORE any
-                # data is touched, so a crash mid-run can never leave a
-                # committed manifest pointing at deleted/overwritten data
-                # (a later resume under the OLD snapshot must recompute,
-                # not trust it)
-                manifest_path.unlink()
+        if b not in manifests:
+            continue
+        mp, m = manifests[b]
+        if (m.get("snapshot_id") == snapshot_id
+                and m.get("operator_version") == operator_version
+                and m.get("committed")):
+            committed[b] = m
+        else:
+            # the bucket is being recomputed for a different
+            # (snapshot, version): retract the old manifest BEFORE any
+            # data is touched, so a crash mid-run can never leave a
+            # committed manifest pointing at deleted/overwritten data
+            # (a later resume under the OLD snapshot must recompute,
+            # not trust it)
+            mp.delete_recursive()
 
     results = [BucketResult(b, m["rows"], 0.0, skipped=True)
                for b, m in committed.items()]
@@ -118,15 +144,10 @@ def run_with_lineage(
         # run's files (dynamic overwrite only replaces partitions that are
         # actually written). Manifests are written after the data, so a
         # crash between this delete and the write just re-runs the bucket.
-        import shutil
-
         for b in todo:
-            stale = out / f"bucket={b}"
-            if stale.exists():
-                shutil.rmtree(stale)
+            out.child(f"bucket={b}").delete_recursive()
         bucketed = result.withColumn("bucket",
                                      _bucket_col(key_col, n_buckets))
-        spark = df.sparkSession
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "dynamic")
@@ -142,9 +163,10 @@ def run_with_lineage(
                 spark.conf.set(conf_key, prev)
         dt = time.time() - t0
         for b in todo:
-            rows = _footer_rows(out / f"bucket={b}")
+            rows = out.child(f"bucket={b}").parquet_rows()
             manifest = {
                 "bucket": b,
+                "n_buckets": n_buckets,
                 "snapshot_id": snapshot_id,
                 "operator_version": operator_version,
                 "rows": rows,
@@ -152,12 +174,24 @@ def run_with_lineage(
                 "committed": True,
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            (lineage_dir / f"bucket={b}.json").write_text(json.dumps(manifest))
+            lineage_dir.child(f"bucket={b}.json").write_text(
+                json.dumps(manifest))
             results.append(BucketResult(b, rows, dt, skipped=False))
     return sorted(results, key=lambda r: r.bucket)
 
 
-def read_lineage(out_dir: str | Path) -> list[dict]:
+def read_lineage(out_dir: str | Path, spark=None) -> list[dict]:
+    """Read every committed manifest. Goes through the Hadoop FS when a
+    SparkSession is available (required for hdfs://s3a:// out_dirs); plain
+    pathlib otherwise (local paths, no running session needed)."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None:
+        lineage_dir = FsPath(spark, str(out_dir)).child("_lineage")
+        return [json.loads(lineage_dir.child(n).read_text())
+                for n in lineage_dir.list_names("bucket=*.json")]
     lineage_dir = Path(out_dir) / "_lineage"
     return [json.loads(p.read_text())
             for p in sorted(lineage_dir.glob("bucket=*.json"))]

@@ -170,7 +170,14 @@ def prepared_path(base_dir: str | Path, label: str, version: str) -> Path:
 def clear_prepared(base_dir: str | Path, keep_version: str | None = None,
                    label: str | None = None) -> list[str]:
     """S9: delete prepared dirs; optionally only stale versions
-    (cache_manager.py:86-119 semantics). Returns removed names."""
+    (cache_manager.py:86-119 semantics). Returns removed names.
+
+    With ``keep_version`` set the call is framed as "drop stale versions
+    only", so only dirs matching the versioned pattern ``<label>_<digits>``
+    are candidates — unversioned prepared sets (``llsoa``, ``dno``, ...)
+    are never touched by a version sweep."""
+    import re
+
     base = Path(base_dir)
     removed = []
     if not base.exists():
@@ -180,8 +187,11 @@ def clear_prepared(base_dir: str | Path, keep_version: str | None = None,
             continue
         if label is not None and not child.name.startswith(f"{label}_"):
             continue
-        if keep_version is not None and child.name.endswith(f"_{keep_version}"):
-            continue
+        if keep_version is not None:
+            if child.name.endswith(f"_{keep_version}"):
+                continue
+            if not re.fullmatch(r".+_\d+", child.name):
+                continue
         shutil.rmtree(child)
         removed.append(child.name)
     return removed

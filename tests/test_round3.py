@@ -1,0 +1,195 @@
+"""Round-3 additions: filesystem-agnostic lineage (Hadoop FS API),
+n_buckets lineage identity, simhash bucket cap, O(d) cosine normalization,
+NULL-embedding safety in the bucketed path, null-aware row keys,
+version-sweep cache clearing."""
+
+import json
+
+import pytest
+import pyspark.sql.functions as F
+
+
+class TestFsAgnosticLineage:
+    def test_file_uri_out_dir(self, spark, tmp_path):
+        """The lineage layer must accept a scheme-qualified URI out_dir —
+        the shape a real hdfs:///s3a:// deployment passes. file:/ exercises
+        the identical Hadoop FileSystem code path."""
+        from geocode_spark.plans.lineage import read_lineage, run_with_lineage
+
+        df = spark.range(200).withColumn("k", F.col("id") % 10)
+        out = f"file:{tmp_path}/lineage_uri_out"
+        r1 = run_with_lineage(df, out, key_col="id", n_buckets=4,
+                              snapshot_id="s1")
+        assert sum(r.rows for r in r1) == 200
+        r2 = run_with_lineage(df, out, key_col="id", n_buckets=4,
+                              snapshot_id="s1")
+        assert all(r.skipped for r in r2)
+        manifests = read_lineage(out, spark=spark)
+        assert len(manifests) == 4
+        assert all(m["n_buckets"] == 4 for m in manifests)
+        # row totals must agree with a read of the output
+        assert spark.read.parquet(out).count() == 200
+
+    def test_n_buckets_change_invalidates_fully(self, spark, tmp_path):
+        """Shrinking n_buckets must retract EVERY prior bucket (ids beyond
+        the new count included) — otherwise a parquet read of the out_dir
+        double-counts rows from the old partitioning."""
+        from geocode_spark.plans.lineage import read_lineage, run_with_lineage
+
+        df = spark.range(300).withColumn("k", F.col("id") % 10)
+        out = tmp_path / "rebucket_out"
+        run_with_lineage(df, out, key_col="id", n_buckets=8,
+                         snapshot_id="s1")
+        assert spark.read.parquet(str(out)).count() == 300
+        r2 = run_with_lineage(df, out, key_col="id", n_buckets=3,
+                              snapshot_id="s1")
+        # full invalidation: nothing may be "resumed" across a re-bucket
+        assert not any(r.skipped for r in r2)
+        assert sum(r.rows for r in r2) == 300
+        # no stale bucket >= 3 survives, on disk or in manifests
+        assert spark.read.parquet(str(out)).count() == 300
+        manifests = read_lineage(out, spark=spark)
+        assert sorted(m["bucket"] for m in manifests) == [0, 1, 2]
+        assert all(m["n_buckets"] == 3 for m in manifests)
+        stale = [p for p in (tmp_path / "rebucket_out").iterdir()
+                 if p.name.startswith("bucket=") and int(p.name[7:]) >= 3]
+        assert stale == []
+
+    def test_fspath_footer_rows_matches_count(self, spark, tmp_path):
+        """Footer-metadata row counts through the positional-read file-like
+        must equal a real count, over multiple files."""
+        from geocode_spark.plans.fsio import FsPath
+
+        out = tmp_path / "footer_out"
+        spark.range(1000).repartition(4).write.parquet(str(out))
+        fp = FsPath(spark, str(out))
+        assert fp.parquet_rows() == 1000
+        assert len(fp.list_names("*.parquet")) == 4
+
+
+class TestSimhashBucketCap:
+    def test_hot_chunk_bucket_is_bounded(self, spark):
+        """A deliberately hot (chunk_pos, chunk) bucket must be dropped by
+        max_bucket_size instead of exploding quadratically — mirror of the
+        LSH stop-bucket test. 40 docs share simhash chunk0; uncapped they
+        produce C(40,2)=780 pairs, capped they may only pair through other
+        chunks."""
+        from geocode_spark.operators.dedup import simhash_near_pairs
+
+        # identical low 16 bits (chunk 0), distinct elsewhere and far apart
+        rows = [(i, (i << 16) | 0xBEEF) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, simhash long")
+        uncapped = simhash_near_pairs(df, max_hamming=64).count()
+        assert uncapped == 780
+        capped = simhash_near_pairs(df, max_hamming=64,
+                                    max_bucket_size=10).count()
+        assert capped < 780
+        # pairs recovered via other chunks only: none here (all distinct)
+        assert capped == 0
+
+    def test_cap_noop_at_small_scale(self, spark):
+        """At fixture scale the cap must be a no-op (driver query output
+        unchanged)."""
+        from geocode_spark.operators.dedup import simhash, simhash_near_pairs
+
+        docs = [(i, f"the quick brown fox jumps over dog {i % 5}")
+                for i in range(30)]
+        df = simhash(spark.createDataFrame(docs, "doc_id long, text string"))
+        base = {(r.id_a, r.id_b) for r in
+                simhash_near_pairs(df, max_hamming=3).collect()}
+        capped = {(r.id_a, r.id_b) for r in
+                  simhash_near_pairs(df, max_hamming=3,
+                                     max_bucket_size=1000).collect()}
+        assert base == capped
+
+
+class TestCosinePairsRound3:
+    def test_null_embeddings_tolerated_in_bucketed(self, spark):
+        """A NULL embedding must not crash the bucketed path (np.stack over
+        a None vector) — it can never clear the threshold, so it is dropped
+        before the sketch."""
+        from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.01, 0.0]), (2, None),
+                (3, [0.0, 1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        exact = embedding_cosine_pairs(df, threshold=0.99, method="exact")
+        bucketed = embedding_cosine_pairs(df, threshold=0.99,
+                                          method="bucketed", dim=3, bits=4)
+        e = {(r.id_a, r.id_b) for r in exact.collect()}
+        b = {(r.id_a, r.id_b) for r in bucketed.collect()}
+        assert e == {(0, 1)}
+        assert b <= e  # bucketed recall <= exact, never a crash
+
+    def test_norm_aggregate_hoisted_once(self, spark):
+        """The norm must appear as ONE aggregate per row, not one per
+        vector element: the optimized plan must not contain the aggregate
+        nested inside the transform lambda."""
+        from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+        df = spark.createDataFrame([(0, [3.0, 4.0]), (1, [0.6, 0.8])],
+                                   "vec_id long, embedding array<double>")
+        pairs = embedding_cosine_pairs(df, threshold=0.9, method="exact")
+        plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+        # inside any lambdafunction(...) body there must be no aggregate(
+        for frag in plan.split("lambdafunction(")[1:]:
+            body = frag.split(", lambda", 1)[0]
+            assert "aggregate(" not in body, (
+                "norm aggregate re-nested inside a transform lambda "
+                "(O(d^2) per row):\n" + plan)
+        got = pairs.collect()
+        assert len(got) == 1 and got[0].cosine == pytest.approx(1.0)
+
+    def test_auto_probe_is_bounded(self, spark):
+        """auto must decide via a bounded limit-probe, not a full count —
+        asserted by behavior: tiny max_exact_rows routes to bucketed."""
+        from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+        rows = [(i, [1.0, float(i % 7) / 10, 0.0]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = embedding_cosine_pairs(df, threshold=0.999, method="auto",
+                                     max_exact_rows=10, dim=3, bits=2)
+        # bucketed branch selected and runs clean; pairs verify >= threshold
+        assert all(r.cosine >= 0.999 for r in out.collect())
+
+
+class TestNullAwareRowKey:
+    def test_null_shift_changes_key(self, spark, fixture_dir):
+        """Two rows whose hash-input VALUES coincide once a NULL shifts
+        columns must not share a row key (ADVICE round 2): each gets its
+        own region assignment under strategy='join'."""
+        from geocode_spark.regions import load_prepared
+        from geocode_spark.operators.reverse_geocode import reverse_geocode
+
+        prep = load_prepared("llsoa", fixture_dir / "prepared")
+        # aux columns engineered so skipping a NULL aligns the remaining
+        # values: (a=NULL, b=7) vs (a=7, b=NULL) hash identical value
+        # streams without null markers
+        df = spark.createDataFrame(
+            [(0, 51.575, -0.065, None, 7),
+             (1, 51.575, -0.065, 7, None)],
+            "row_id long, latitude double, longitude double, a long, b long")
+        out = reverse_geocode(df, prep, strategy="join").collect()
+        assert len(out) == 2
+        assert {r.row_id for r in out} == {0, 1}
+        # both resolve (same coordinates), each exactly once
+        assert all(r.region_id == "E01002050" for r in out)
+
+
+class TestClearPreparedVersionSweep:
+    def test_keep_version_spares_unversioned(self, tmp_path):
+        """--keep-version is a stale-VERSION sweep: unversioned prepared
+        sets must survive it (ADVICE round 2)."""
+        from geocode_spark.sources.loaders import clear_prepared
+
+        for name in ["llsoa", "dno", "gsp_20181031", "gsp_20220314",
+                     "nuts_2016", "nuts_2021"]:
+            (tmp_path / name).mkdir()
+        removed = clear_prepared(tmp_path, keep_version="20220314")
+        assert sorted(removed) == ["gsp_20181031", "nuts_2016", "nuts_2021"]
+        assert (tmp_path / "llsoa").exists()
+        assert (tmp_path / "dno").exists()
+        assert (tmp_path / "gsp_20220314").exists()
+        # without keep_version the sweep still clears everything
+        removed_all = clear_prepared(tmp_path)
+        assert sorted(removed_all) == ["dno", "gsp_20220314", "llsoa"]
