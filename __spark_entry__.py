@@ -418,16 +418,32 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    from geocode_spark.operators.dedup import minhash_dedup_pairs
+    """MinHash-LSH candidates verified with EXACT word-3-gram Jaccard at a
+    high threshold (0.8). At that threshold the banded LSH recall is 1 on
+    this corpus (near-dup pairs collide in every band, deterministic
+    seeded hashing), so the output is exactly the set of high-Jaccard
+    pairs — which the DuckDB oracle computes brute-force over ALL pairs.
+    A missed candidate or a broken bucket join would break the hash, so
+    the full signature -> band -> bucket-join -> verify plumbing is under
+    oracle check; estimate-vs-exact tolerances stay pytest-covered."""
+    from geocode_spark.operators.dedup import (minhash_dedup_pairs,
+                                               ngram_jaccard_pairs)
 
     pages = spark.read.parquet(f"{FIX}/pages.parquet")
-    out = minhash_dedup_pairs(pages, text_col="text", id_col="url",
-                              threshold=0.9)
-    return out.select(F.col("id_a"), F.col("id_b"),
-                      F.round("jaccard_est", 6).alias("jaccard_est"))
+    cand = minhash_dedup_pairs(pages, text_col="text", id_col="url",
+                               threshold=0.35).select("id_a", "id_b")
+    out = ngram_jaccard_pairs(pages, cand, text_col="text", id_col="url",
+                              n=3, threshold=0.8)
+    return out.select("id_a", "id_b",
+                      F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """All pairs at simhash Hamming distance <= 3. The chunk blocking is
+    COMPLETE by pigeonhole (4x16-bit chunks, distance <=3 shares a chunk),
+    and the token hash is the fully-specified FNV-1a+splitmix64 — so the
+    DuckDB oracle transcribes the identical arithmetic (hugeint mod-2^64)
+    and brute-forces all pairs: a full hash check, not rows-only."""
     from geocode_spark.operators.dedup import simhash, simhash_near_pairs
 
     pages = spark.read.parquet(f"{FIX}/pages.parquet")
@@ -508,25 +524,67 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
+    """LSH ANN in its exhaustive-probe configuration: hamming_probes ==
+    bits means every bucket is probed, so the result EQUALS brute-force
+    top-k and the brute-force oracle hash-verifies the complete sketch ->
+    probe-explode -> bucket-join -> re-rank plumbing (a wrong bucket id or
+    a dropped probe would break the hash). Production recall at selective
+    settings (bits=8..16, radius 1) is covered by the recall-floor
+    tests (tests/test_similarity_ivf.py)."""
     from geocode_spark.operators.similarity import lsh_topk
 
     emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    out = lsh_topk(emb, queries, dim=64, k=10, bits=8)
+    out = lsh_topk(emb, queries, dim=64, k=10, bits=2, hamming_probes=2)
     return out.select("query_id", "vec_id", "rank")
 
 
 def q_ann_topk_ivf(spark, sf_dir):
-    """IVF ANN scale path (seeded centroids -> rows-only check like the
-    other approximate ops; exactness is covered by ann_topk)."""
+    """IVF ANN in its exhaustive-probe configuration: nprobe == n_centroids
+    probes every inverted list, so the result EQUALS brute-force top-k and
+    the brute-force oracle hash-verifies the full train -> assign -> probe
+    -> per-list join -> re-rank plumbing (a row lost to a bad assignment
+    would break the hash). Selective-nprobe recall is covered by the
+    recall-floor tests (tests/test_similarity_ivf.py)."""
     from geocode_spark.operators.similarity import ivf_topk
 
     emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    out = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=4)
+    out = ivf_topk(emb, queries, dim=64, k=10, n_centroids=8, nprobe=8)
     return out.select("query_id", "vec_id", "rank")
+
+
+def q_pages_iceberg_scan(spark, sf_dir):
+    """S11 through the REAL metadata layer: the pages corpus is committed
+    into an Iceberg table (sources/iceberg.py — from-scratch Avro manifests
+    + snapshot metadata) as snapshot 1 with deliberately corrupted text,
+    then OVERWRITTEN by snapshot 2 with the true rows. read_pages resolves
+    the current snapshot through version-hint -> metadata json -> manifest
+    list -> manifests; the oracle reads the plain parquet. The hash matches
+    only if snapshot isolation is exact — reading snapshot 1, unioning both
+    snapshots, or dropping a data file all fail the check."""
+    import shutil
+
+    from geocode_spark.sources import iceberg
+    from geocode_spark.sources.loaders import read_pages
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet") \
+        .select("url", "text", "lang")
+    tbl = "/tmp/geocode_spark_pages_iceberg_r3"
+    ok = False
+    try:
+        ok = (iceberg.is_iceberg_table(spark, tbl)
+              and iceberg.current_snapshot_id(spark, tbl) == 2)
+    except Exception:
+        ok = False
+    if not ok:
+        shutil.rmtree(tbl, ignore_errors=True)
+        iceberg.write_iceberg(
+            spark, pages.withColumn("text", F.reverse(F.col("text"))), tbl)
+        iceberg.write_iceberg(spark, pages, tbl, mode="overwrite")
+    return read_pages(spark, tbl).select("url", "text", "lang")
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -696,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "pages_iceberg_scan": q_pages_iceberg_scan,
         "cosine_pairs": q_cosine_pairs,
         "pricing_summary": q_pricing_summary,
         "orders_by_nation": q_orders_by_nation,
@@ -1137,6 +1196,84 @@ FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
 WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
 """
 
+    # minhash_pairs: brute-force exact word-3-gram Jaccard over ALL page
+    # pairs at the verification threshold. The Spark side reaches this set
+    # through MinHash-LSH candidates + exact verification; banded recall
+    # is 1 at jaccard>=0.8 on this corpus, so set equality (and hence the
+    # value hash) holds — see q_minhash_pairs.
+    sql["minhash_pairs"] = rf"""
+WITH t AS (
+  SELECT url, string_split_regex(lower(text), '\s+') AS w FROM {pages}),
+g AS (
+  SELECT DISTINCT url,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM t WHERE len(w) >= 3),
+sizes AS (SELECT url, count(*) AS n FROM g GROUP BY url),
+inter AS (
+  SELECT a.url AS id_a, b.url AS id_b, count(*) AS i
+  FROM g a JOIN g b ON a.gram = b.gram AND a.url < b.url
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.url = id_a JOIN sizes sb ON sb.url = id_b
+WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8
+"""
+
+    # simhash_pairs: full transcription of the simhash definition
+    # (operators/dedup.py: codepoint FNV-1a-64 + splitmix64, multiset bit
+    # votes) into DuckDB hugeint mod-2^64 arithmetic, then brute-force
+    # all-pairs Hamming. The chunk blocking in Spark is complete by
+    # pigeonhole, so the sets must be identical — a real hash check on a
+    # "non-SQL-expressible" operator.
+    def _mulmod64(x: str, m: int) -> str:
+        # (x * m) mod 2^64 via 32-bit split: hugeint would overflow at
+        # full 64x64 products
+        return (f"(((({x}) % 4294967296) * {m} "
+                f"+ ((({x}) // 4294967296) * {m} % 4294967296) * 4294967296)"
+                f" % 18446744073709551616::HUGEINT)")
+
+    _fnv = _mulmod64("xor(h::UBIGINT, c::UBIGINT)::HUGEINT", 1099511628211)
+    sql["simhash_pairs"] = rf"""
+WITH docs AS (SELECT url AS doc_id, lower(text) AS t FROM {pages}),
+tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(t, '[ \t\n\r\f]+'),
+                            x -> x != '')) AS token
+  FROM docs),
+h0 AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(string_split(token, ''), c -> ord(c)::HUGEINT)),
+    (h, c) -> {_fnv}) AS h
+  FROM tok),
+f1 AS (SELECT doc_id, xor(h::UBIGINT, (h // 1073741824)::UBIGINT)::HUGEINT AS s FROM h0),
+f2 AS (SELECT doc_id, {_mulmod64('s', 13787848793156543929)} AS s FROM f1),
+f3 AS (SELECT doc_id, xor(s::UBIGINT, (s // 134217728)::UBIGINT)::HUGEINT AS s FROM f2),
+f4 AS (SELECT doc_id, {_mulmod64('s', 10723151780598845931)} AS s FROM f3),
+f5 AS (SELECT doc_id, xor(s::UBIGINT, (s // 2147483648)::UBIGINT)::UBIGINT AS h FROM f4),
+votes AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM f5, range(64) r(j) GROUP BY doc_id, j),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN v > 0 THEN ((1::UBIGINT << j))::HUGEINT
+                          ELSE 0::HUGEINT END) AS s
+  FROM votes GROUP BY doc_id),
+fin AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN coalesce(s.s, 0) >= 9223372036854775808::HUGEINT
+                   THEN coalesce(s.s, 0) - 18446744073709551616::HUGEINT
+                   ELSE coalesce(s.s, 0) END AS BIGINT) AS simhash
+  FROM docs d LEFT JOIN sh s USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fin a JOIN fin b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+    sql["pages_iceberg_scan"] = f"""
+SELECT url, text, lang FROM {pages}
+"""
+
     sql["token_stats"] = r"""
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ws_tokens,
@@ -1222,6 +1359,11 @@ r AS (SELECT query_id, vec_id,
       FROM s)
 SELECT query_id, vec_id, rank FROM r WHERE rank <= 10
 """
+
+    # exhaustive-probe configurations are EXACT (see q_ann_topk_lsh /
+    # q_ann_topk_ivf): the brute-force oracle applies verbatim
+    sql["ann_topk_lsh"] = sql["ann_topk"]
+    sql["ann_topk_ivf"] = sql["ann_topk"]
 
     sql["cosine_pairs"] = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

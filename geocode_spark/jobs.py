@@ -95,8 +95,13 @@ def geocode_pages(spark, args):
     from .operators.pipeline import geocode_documents
     from .plans.lineage import run_with_lineage
     from .regions import load_prepared
-    from .sources.loaders import read_pages
+    from .sources.loaders import pages_snapshot_id, read_pages
 
+    # An Iceberg input supplies its snapshot id from TABLE METADATA — the
+    # lineage stamp then tracks the data actually read, and an append to
+    # the table automatically invalidates prior buckets on the next run.
+    # --snapshot stays as the override / non-Iceberg fallback.
+    snapshot = pages_snapshot_id(spark, args.infile) or args.snapshot
     pages = read_pages(spark, args.infile)
     cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
     llsoa = load_prepared("llsoa", args.prepared)
@@ -104,7 +109,7 @@ def geocode_pages(spark, args):
     results = run_with_lineage(
         pages, args.outfile, key_col="url",
         transform=lambda df: geocode_documents(df, cpo, llsoa, gsp),
-        n_buckets=args.buckets, snapshot_id=args.snapshot,
+        n_buckets=args.buckets, snapshot_id=snapshot,
         operator_version="1")
     done = sum(1 for r in results if not r.skipped)
     skipped = sum(1 for r in results if r.skipped)

@@ -190,20 +190,64 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return est
 
 
+# simhash token-hash definition (fully specified so an independent SQL
+# engine can transcribe it for oracle checks):
+#   tokenize:  lower(text) split on [ \t\n\r\f]+ (explicit class — Java
+#              regex, Python re and RE2 all agree on it, unlike \s whose
+#              \x0B membership differs between engines), empties dropped,
+#              duplicates KEPT (multiset simhash);
+#   per token: FNV-1a 64 over the token's unicode CODEPOINTS
+#              (h = offset; h = (h ^ cp) * prime mod 2^64), then the
+#              splitmix64 finalizer (Steele/Lea/Flood 2014 public-domain
+#              constants) for avalanche — FNV alone biases high bits.
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(1099511628211)
+_SM_C1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM_C2 = np.uint64(0x94D049BB133111EB)
+_TOKEN_SPLIT = "[ \t\n\r\f]+"
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    """Vectorized FNV-1a-64 + splitmix64 over a token list: tokens padded
+    into a codepoint matrix, the FNV fold runs max_len times across ALL
+    tokens at once (uint64 wrap-around is the mod-2^64 arithmetic)."""
+    lens = np.asarray([len(t) for t in toks])
+    mat = np.zeros((len(toks), int(lens.max())), dtype=np.uint64)
+    for i, t in enumerate(toks):
+        mat[i, :len(t)] = np.frombuffer(
+            t.encode("utf-32-le"), dtype=np.uint32)
+    h = np.full(len(toks), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        active = j < lens
+        h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
+    h ^= h >> np.uint64(30)
+    h *= _SM_C1
+    h ^= h >> np.uint64(27)
+    h *= _SM_C2
+    h ^= h >> np.uint64(31)
+    return h
+
+
 def simhash(df: DataFrame, text_col: str = "text", seed: int = 42) -> DataFrame:
-    """Add a 64-bit ``simhash`` column (token-multiset simhash)."""
+    """Add a 64-bit ``simhash`` column (token-multiset simhash). The token
+    hash is the fully-specified FNV-1a+splitmix64 above — deterministic on
+    any cluster AND reproducible by the DuckDB oracle, which transcribes
+    the same arithmetic (hugeint mod-2^64) to hash-verify near-pair output
+    end to end."""
 
     weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    import re as _re
+
+    splitter = _re.compile(_TOKEN_SPLIT)
 
     @F.pandas_udf(LongType())
     def sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            toks = (t or "").lower().split()
+            toks = [w for w in splitter.split((t or "").lower()) if w]
             if not toks:
                 continue
-            # vectorized stable 64-bit token hashes (C siphash, fixed key)
-            hs = pd.util.hash_array(np.asarray(toks, dtype=object))
+            hs = _token_hashes(toks)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                     & np.uint64(1)).astype(np.int64)
             v = (bits * 2 - 1).sum(axis=0)

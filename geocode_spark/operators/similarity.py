@@ -85,19 +85,32 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     """ANN top-k: bucket candidates, exact cosine re-rank.
 
     Multi-probe: each query also probes every bucket within Hamming distance
-    ``hamming_probes`` of its own sketch (bits+1 buckets at distance 1) —
-    the standard recall lift that costs query-side fanout only; the corpus
-    is still touched once per (bucket, query) candidate group. Recall is
-    tunable via ``bits`` (fewer = bigger buckets) and ``hamming_probes``."""
-    if hamming_probes not in (0, 1):
+    ``hamming_probes`` of its own sketch (bits+1 buckets at distance 1,
+    plus C(bits,2) at distance 2) — the standard recall lift that costs
+    query-side fanout only; the corpus is still touched once per
+    (bucket, query) candidate group. Recall is tunable via ``bits``
+    (fewer = bigger buckets) and ``hamming_probes``.
+
+    Exactness corner: with ``hamming_probes >= bits`` every bucket is
+    probed, the candidate set is the whole corpus and the result equals
+    ``brute_force_topk`` — that configuration exercises the complete LSH
+    plumbing while staying oracle-checkable (used by the driver's
+    ann_topk_lsh correctness entry; production recall settings are
+    covered by the recall-floor tests)."""
+    if hamming_probes not in (0, 1, 2):
         raise ValueError(
-            "hamming_probes supports 0 (own bucket) or 1 (plus all "
-            "single-bit-flip buckets); higher radii are not implemented")
+            "hamming_probes supports 0 (own bucket), 1 (plus single-bit-"
+            "flip buckets) or 2 (plus two-bit flips); higher radii are "
+            "not implemented")
     cb = lsh_buckets(corpus, dim, bits, vec_col, seed)
     qb = lsh_buckets(queries, dim, bits, vec_col, seed)
-    if hamming_probes == 1:
+    if hamming_probes >= 1:
         flips = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(bits)]
+        if hamming_probes == 2:
+            flips += [
+                F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                for i in range(bits) for j in range(i + 1, bits)]
         qb = qb.withColumn("bucket", F.explode(F.array(*flips)))
     q = qb.select(query_id_col, F.col(vec_col).alias("__qv"), "bucket")
     c = cb.select(id_col, F.col(vec_col).alias("__cv"), "bucket")

@@ -115,6 +115,9 @@ class FsPath:
     def exists(self) -> bool:
         return bool(self._fs.exists(self._jpath))
 
+    def size(self) -> int:
+        return int(self._fs.getFileStatus(self._jpath).getLen())
+
     def mkdirs(self) -> None:
         self._fs.mkdirs(self._jpath)
 
@@ -135,44 +138,53 @@ class FsPath:
             return []
         return sorted(s.getPath().getName() for s in statuses)
 
-    def read_text(self) -> str:
+    def read_bytes(self) -> bytes:
         stream = self._fs.open(self._jpath)
         try:
             out = self._jvm.java.io.ByteArrayOutputStream()
             self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
                 stream, out, 65536, False)
-            return bytes(out.toByteArray()).decode("utf-8")
+            return bytes(out.toByteArray())
         finally:
             stream.close()
 
-    def write_text(self, text: str) -> None:
+    def read_text(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+    def write_bytes(self, data: bytes) -> None:
         """Create/overwrite with the given content. Hadoop's create() is
         the same primitive Spark's committers use; on rename-consistent
         stores the close() makes the object visible atomically."""
         stream = self._fs.create(self._jpath, True)
         try:
-            stream.write(bytearray(text.encode("utf-8")))
+            stream.write(bytearray(data))
         finally:
             stream.close()
+
+    def write_text(self, text: str) -> None:
+        self.write_bytes(text.encode("utf-8"))
 
     def open_seekable(self) -> _JvmFile:
         return _JvmFile(self._fs, self._jvm, self._jpath)
 
-    def parquet_rows(self) -> int:
-        """Sum of footer ``num_rows`` over ``*.parquet`` children —
-        metadata-only: pyarrow seeks straight to each footer through the
-        positional-read file-like, so no data pages are transferred."""
+    def parquet_file_rows(self) -> int:
+        """Footer ``num_rows`` of THIS parquet file — metadata-only:
+        pyarrow seeks straight to the footer through the positional-read
+        file-like, so no data pages are transferred."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        raw = self.open_seekable()
+        try:
+            return pq.ParquetFile(
+                pa.PythonFile(raw, mode="r")).metadata.num_rows
+        finally:
+            raw.close()
+
+    def parquet_rows(self) -> int:
+        """Sum of footer ``num_rows`` over ``*.parquet`` children of this
+        DIRECTORY (0 when it does not exist)."""
         if not self.exists():
             return 0
-        total = 0
-        for name in self.list_names("*.parquet"):
-            raw = self.child(name).open_seekable()
-            try:
-                total += pq.ParquetFile(
-                    pa.PythonFile(raw, mode="r")).metadata.num_rows
-            finally:
-                raw.close()
-        return total
+        return sum(self.child(name).parquet_file_rows()
+                   for name in self.list_names("*.parquet"))

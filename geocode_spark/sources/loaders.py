@@ -148,16 +148,46 @@ def read_geojson_from_7z(archive: str | Path, member: str,
     return geojson_to_records(fc, id_property, extra_properties)
 
 
-def read_pages(spark: SparkSession, source: str) -> DataFrame:
-    """S11: the 10^12-row fact scan. Reads an Iceberg table when the
-    catalog/runtime is present (partition + predicate pruning from Iceberg
-    metadata), else a parquet path (this sandbox). Either way the engine
-    sees the same (url, warc_ts, html, text, lang) DataFrame and every
-    downstream operator is storage-agnostic."""
+def read_pages(spark: SparkSession, source: str,
+               snapshot_id: int | None = None) -> DataFrame:
+    """S11: the 10^12-row fact scan. Resolution order:
+
+    1. an Iceberg runtime/catalog on the classpath (``format("iceberg")``
+       — partition + predicate pruning from Iceberg metadata);
+    2. the built-in metadata-layer Iceberg reader (sources/iceberg.py) for
+       any path that IS an Iceberg table: the snapshot's live data files
+       are resolved from manifest Avro and handed to the parquet scan —
+       snapshot isolation and time travel without the runtime jar;
+    3. a plain parquet path.
+
+    Either way the engine sees the same (url, warc_ts, html, text, lang)
+    DataFrame and every downstream operator is storage-agnostic.
+    ``snapshot_id`` pins a historical snapshot (paths 1-2 only)."""
+    from . import iceberg
+
     try:
-        return spark.read.format("iceberg").load(source)
+        reader = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            reader = reader.option("snapshot-id", str(snapshot_id))
+        return reader.load(source)
     except Exception:
-        return spark.read.parquet(source)
+        pass
+    if iceberg.is_iceberg_table(spark, source):
+        return iceberg.read_iceberg(spark, source, snapshot_id)
+    return spark.read.parquet(source)
+
+
+def pages_snapshot_id(spark: SparkSession, source: str) -> str | None:
+    """Current snapshot id from table METADATA when the source is an
+    Iceberg table (None for plain parquet) — the lineage layer stamps this
+    into its manifests so resume-correctness is automatic, not dependent
+    on a hand-passed string."""
+    from . import iceberg
+
+    if iceberg.is_iceberg_table(spark, source):
+        sid = iceberg.current_snapshot_id(spark, source)
+        return None if sid is None else str(sid)
+    return None
 
 
 # --- S8/S9: versioned prepared-table management (cache_manager parity) -----
