@@ -71,6 +71,19 @@ class GeocoderSpark:
         self._cpo = None
         self._preps: dict[str, object] = {}
 
+    # --- context manager parity (geocode.py:87-91): the reference's
+    # __exit__ flushes the gmaps cache; gmaps here is the deliberate
+    # no-API-key stub (gmaps.py:104-168 semantics, SURVEY §2.10) with no
+    # cache to flush, so exit only drops the broadcast-backed prepared
+    # handles. ``with GeocoderSpark(spark) as g:`` is drop-in.
+
+    def __enter__(self) -> "GeocoderSpark":
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback) -> None:
+        self._preps.clear()
+        self._cpo = None
+
     # --- lazy dimension loads (mirrors the reference's lazy _load pattern,
     # cpo.py:41-53, ons_nrs.py:74-78) ---------------------------------------
 
@@ -388,11 +401,61 @@ class GeocoderSpark:
         rows = self.reverse_geocode_gsp(df).orderBy("row_id").collect()
         return [(r.gsp, r.gsp_group) for r in rows]
 
-    def geocode_llsoa_list(self, llsoas: list[str]) -> list[tuple]:
+    def geocode_llsoa_list(self, llsoas) -> list[tuple] | tuple:
+        """Scalar-or-iterable like the reference (ons_nrs.py:348-349): a
+        single code returns one (lat, lon), an iterable returns a list."""
+        if scalar := isinstance(llsoas, str):
+            llsoas = [llsoas]
         df = self.spark.createDataFrame(
             [(i, c) for i, c in enumerate(llsoas)], "row_id long, llsoa string")
         rows = self.geocode_llsoa(df).orderBy("row_id").collect()
-        return [(r.latitude, r.longitude) for r in rows]
+        out = [(r.latitude, r.longitude) for r in rows]
+        return out[0] if scalar else out
+
+    def geocode_constituency_list(self, names) -> list[tuple] | tuple:
+        """Constituency-name centroids, scalar-or-iterable
+        (ons_nrs.py:423-424 semantics: name normalized case/space)."""
+        if scalar := isinstance(names, str):
+            names = [names]
+        df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(names)],
+            "row_id long, constituency string")
+        rows = self.geocode_constituency(df).orderBy("row_id").collect()
+        out = [(r.latitude, r.longitude) for r in rows]
+        return out[0] if scalar else out
+
+    def geocode_local_authority_list(self, names) -> list[tuple] | tuple:
+        """LAD-name centroids, scalar-or-iterable (ons_nrs.py:454-455)."""
+        if scalar := isinstance(names, str):
+            names = [names]
+        df = self.spark.createDataFrame(
+            [(i, c) for i, c in enumerate(names)], "row_id long, lad string")
+        rows = self.geocode_local_authority(df).orderBy("row_id").collect()
+        out = [(r.latitude, r.longitude) for r in rows]
+        return out[0] if scalar else out
+
+    def reverse_geocode_nuts_list(self, latlons: list[tuple], level: int = 3,
+                                  year: int = 2021, **kw) -> list:
+        """Positional parity with the reference's reverse_geocode_nuts
+        (geocode.py:169-175: List[(lat, lon)] -> List[str])."""
+        df = self.spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(latlons)],
+            "row_id long, latitude double, longitude double")
+        rows = self.reverse_geocode_nuts(df, level=level, year=year,
+                                         **kw).orderBy("row_id").collect()
+        return [r.nuts for r in rows]
+
+    def reverse_geocode_list(self, latlons: list[tuple], entity: str,
+                             **kw) -> list:
+        """Generic entity dispatch on coordinate lists (geocode.py:283
+        parity) — covers dno and every other prepared entity."""
+        df = self.spark.createDataFrame(
+            [(i, la, lo) for i, (la, lo) in enumerate(latlons)],
+            "row_id long, latitude double, longitude double")
+        out = self.reverse_geocode(df, entity, **kw).orderBy("row_id")
+        out_col = [c for c in out.columns
+                   if c not in ("row_id", "latitude", "longitude")][0]
+        return [r[out_col] for r in out.collect()]
 
     # --- prepared-data lifecycle (cache_manager parity) -----------------------
 

@@ -176,6 +176,40 @@ class TestNullAwareRowKey:
         assert all(r.region_id == "E01002050" for r in out)
 
 
+class TestFacadeRound3:
+    def test_context_manager(self, spark, fixture_dir):
+        """geocode.py:87-91 parity: with-statement drop-in."""
+        from geocode_spark.geocoder import GeocoderSpark
+
+        with GeocoderSpark(spark, data_dir=str(fixture_dir)) as g:
+            lat, lon = g.geocode_llsoa_list("E01012082")
+            assert lat == pytest.approx(54.5478, abs=1e-3)
+        assert g._preps == {}  # exit released the prepared handles
+
+    def test_scalar_or_list_helpers(self, spark, fixture_dir):
+        """ons_nrs.py:348-349/423-424/454-455 parity: a scalar in gives a
+        scalar out, an iterable gives a list, order preserved."""
+        from geocode_spark.geocoder import GeocoderSpark
+
+        g = GeocoderSpark(spark, data_dir=str(fixture_dir))
+        one = g.geocode_constituency_list("Aldershot")
+        assert one == (pytest.approx(51.288952), pytest.approx(-0.7841))
+        many = g.geocode_constituency_list(["Blyth Valley", "Aldershot"])
+        assert len(many) == 2 and many[1] == one
+        lad = g.geocode_local_authority_list("Medway")
+        assert lad == (pytest.approx(51.44772), pytest.approx(0.56317401))
+        lads = g.geocode_local_authority_list(["Medway", "Medway"])
+        assert lads == [lad, lad]
+
+    def test_reverse_geocode_nuts_list(self, spark, fixture_dir):
+        from geocode_spark.geocoder import GeocoderSpark
+
+        g = GeocoderSpark(spark, data_dir=str(fixture_dir))
+        out = g.reverse_geocode_nuts_list([(54.5478, -1.1956)], level=3)
+        assert len(out) == 1
+        assert out[0] is None or out[0].startswith("UK")
+
+
 class TestClearPreparedVersionSweep:
     def test_keep_version_spares_unversioned(self, tmp_path):
         """--keep-version is a stale-VERSION sweep: unversioned prepared
