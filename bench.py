@@ -14,6 +14,13 @@ Headline workload (mirrors the north-star pipeline at bench scale):
 * minhash_dedup        — MinHash-LSH near-dup pairs over replicated pages
 * ann_topk             — brute-force cosine top-k over sf embeddings
 * pricing_summary      — TPC-H-ish Q1 aggregation over sf lineitem
+* dup_clusters         — connected components (min-label + pointer doubling)
+                         over chain-shaped duplicate pairs
+* lineage_resume       — no-op resume of a fully-committed lineage run:
+                         manifest validation only, must be O(buckets) not
+                         O(data) — the recovery-latency story at 100 TB
+* stream_drain         — availableNow file-stream drain through the
+                         watermarked windowed mention-count aggregation
 
 Derived metrics reported: points/sec for the reverse geocode, docs/sec for
 the pipeline.
@@ -38,6 +45,7 @@ N_POINTS = int(os.environ.get("BENCH_POINTS", "4000000"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
 N_KNN = int(os.environ.get("BENCH_KNN_POINTS", "200000"))
+N_CLUSTER = int(os.environ.get("BENCH_CLUSTER_NODES", "400000"))
 WARMUP = os.environ.get("BENCH_WARMUP", "1") != "0"
 
 
@@ -188,6 +196,68 @@ def main():
             F.col("vec_id").alias("query_id"), "embedding")
         return brute_force_topk(emb, q, k=10).count()
 
+    def run_dup_clusters(n):
+        """Connected components over chain-shaped pair edges: clusters of
+        16 docs linked as diameter-15 chains — the worst realistic shape
+        for label propagation (web dup clusters are small but chained
+        through near-dup intermediaries), converging in ~4 pointer-doubling
+        rounds. n nodes, ~15n/16 edges; every round is two shuffles."""
+        from geocode_spark.operators.dedup import dup_clusters
+
+        nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+        pairs = (spark.range(n - 1)
+                 .filter((F.col("id") + 1) % 16 != 0)
+                 .select(F.col("id").alias("id_a"),
+                         (F.col("id") + 1).alias("id_b"))
+                 .repartition(CPUS * 2))
+        return dup_clusters(nodes, pairs, max_iters=12).count()
+
+    # ---- lineage no-op resume: recovery latency, not throughput --------
+    # A resumable 100 TB job that crashes at 99% must restart in manifest-
+    # validation time, not re-scan time. Setup commits all buckets once
+    # (untimed); the timed call re-enters run_with_lineage against the
+    # fully-committed output and must do ONLY manifest reads + validation.
+    # Constant work per repeat by construction (resume is idempotent).
+    import shutil
+    import tempfile
+
+    from geocode_spark.plans.lineage import run_with_lineage
+
+    lineage_out = tempfile.mkdtemp(prefix="bench_lineage_")
+    lineage_args = dict(
+        out_dir=lineage_out, key_col="url",
+        transform=lambda d: extract_postcode_mentions(d).select(
+            "url", "postcode"),
+        n_buckets=8, snapshot_id="bench", operator_version="1")
+    run_with_lineage(pipeline_corpus.select("url", "text"), **lineage_args)
+
+    def run_lineage_resume():
+        res = run_with_lineage(pipeline_corpus.select("url", "text"),
+                               **lineage_args)
+        assert all(r.skipped for r in res), "expected a pure no-op resume"
+        return len(res)
+
+    # ---- streaming drain: bounded availableNow run to a memory sink ----
+    stream_src = tempfile.mkdtemp(prefix="bench_stream_src_")
+    stream_cp = tempfile.mkdtemp(prefix="bench_stream_cp_")
+    pipeline_corpus.write.mode("overwrite").parquet(stream_src)
+    stream_schema = spark.read.parquet(stream_src).schema
+    stream_seq = iter(range(10**6))
+
+    def run_stream_drain():
+        from geocode_spark.streaming.geocode_stream import (
+            windowed_mention_counts)
+
+        i = next(stream_seq)
+        stream = spark.readStream.schema(stream_schema).parquet(stream_src)
+        counts = windowed_mention_counts(stream, window="1 hour")
+        q = (counts.writeStream.queryName(f"bench_drain_{i}")
+             .format("memory").outputMode("complete")
+             .option("checkpointLocation", f"{stream_cp}/cp{i}")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(f"bench_drain_{i}").count()
+
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     li = (li0.crossJoin(spark.range(8).select(F.col("id").alias("rep")))
           .repartition(CPUS * 2).cache())
@@ -208,6 +278,10 @@ def main():
         run_minhash(minhash_corpus.limit(2000))
         run_ann(2)
         run_pricing()
+        run_dup_clusters(CPUS * 512)
+        run_stream_drain()
+        # lineage resume needs no warmup: its setup pass above already
+        # paid the python-worker + broadcast costs on this session
 
     queries["reverse_geocode_pts"], _ = bench(lambda: run_reverse(N_POINTS))
     queries["knn_fallback"], _ = bench(lambda: run_knn(N_KNN))
@@ -215,6 +289,12 @@ def main():
     queries["minhash_dedup"], _ = bench(lambda: run_minhash(minhash_corpus))
     queries["ann_topk"], _ = bench(lambda: run_ann(16))
     queries["pricing_summary"], _ = bench(run_pricing)
+    queries["dup_clusters"], _ = bench(lambda: run_dup_clusters(N_CLUSTER))
+    queries["lineage_resume"], _ = bench(run_lineage_resume)
+    queries["stream_drain"], _ = bench(run_stream_drain)
+    shutil.rmtree(lineage_out, ignore_errors=True)
+    shutil.rmtree(stream_src, ignore_errors=True)
+    shutil.rmtree(stream_cp, ignore_errors=True)
 
     total = sum(queries.values())
     result = {
