@@ -430,51 +430,82 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     total) rather than loosening."""
     import warnings
 
-    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")) \
-        .unionByName(pairs.select(F.col("id_b").alias("src"),
-                                  F.col("id_a").alias("dst")))
-    labels = nodes.select(F.col(id_col).alias("src"),
-                          F.col(id_col).alias("label")) \
-        .localCheckpoint(eager=True)
-
     def _round(cur):
-        """One propagation round: (new checkpointed labels, n changed)."""
-        nbr = (sym.join(cur, "src")
+        """One propagation round -> (new checkpointed labels, n changed).
+
+        Exactly ONE Spark action per round: the new labels carry the prior
+        label alongside, the checkpoint is lazy, and the changed-count
+        filter both materializes it and counts in the same job — the
+        two-action version (eager checkpoint, then a separate
+        new-vs-old join) paid an extra full join + scheduling wave per
+        round, pure serial time that capped scaling efficiency."""
+        # pointer doubling WITHOUT its own join: the label-edge
+        # (src=label(v), dst=v) makes v receive label(label(v)) through
+        # the same neighbor aggregation that delivers real-neighbor
+        # labels — one groupBy + two joins per round instead of four
+        # joins, halving the exchanges (the per-round serial floor that
+        # capped scaling efficiency)
+        edges = sym.unionByName(cur.select(F.col("label").alias("src"),
+                                           F.col("src").alias("dst")))
+        nbr = (edges.join(cur, "src")
                .groupBy(F.col("dst").alias("src"))
                .agg(F.min("label").alias("nbr_label")))
-        # shortcut: label(label(v)) — pointer doubling
-        hop = cur.select(F.col("src").alias("label"),
-                         F.col("label").alias("hop_label"))
-        new = (cur.join(nbr, "src", "left")
-               .join(hop, "label", "left")
+        new = (cur.withColumnRenamed("label", "prev")
+               .join(nbr, "src", "left")
                .select("src",
-                       F.least(F.col("label"),
-                               F.coalesce("nbr_label", "label"),
-                               F.coalesce("hop_label", "label"))
-                       .alias("label"))).localCheckpoint(eager=True)
-        n = (new.alias("n")
-             .join(cur.alias("o"), "src")
-             .filter(F.col("n.label") != F.col("o.label")).count())
-        return new, n
+                       F.least(F.col("prev"),
+                               F.coalesce("nbr_label", "prev"))
+                       .alias("label"),
+                       "prev")).localCheckpoint(eager=False)
+        n = new.filter(F.col("label") != F.col("prev")).count()
+        return new.select("src", "label"), n
 
-    changed = 0
-    for _ in range(max_iters):
-        labels, changed = _round(labels)
-        if changed == 0:
-            break
-    if changed != 0:
-        # the LAST allowed round may itself have reached the fixpoint —
-        # verify with one extra round before declaring failure, and KEEP
-        # that round's labels either way (they are one round closer to the
-        # fixpoint; discarding computed work would hand back worse labels)
-        labels, would_change = _round(labels)
-        if would_change != 0:
-            msg = (f"dup_clusters did not converge in {max_iters} rounds "
-                   f"({would_change} labels still changing): some clusters "
-                   "are split — raise max_iters")
-            if strict:
-                raise RuntimeError(msg)
-            warnings.warn(msg)
+    # AQE re-optimizes every shuffle stage; on an iterative loop of SMALL
+    # bounded shuffles that re-planning latency is a pure per-round serial
+    # floor (measured ~0.7-1 s/round here, ~30% of the loop) with nothing
+    # to buy: the aggregation fan-in is bounded by node degree + 1, so
+    # there is no skew for AQE to fix. Disabled for the loop, restored
+    # after. (Session-level setting: concurrent same-session queries on
+    # other threads would briefly see it off.)
+    spark = nodes.sparkSession
+    aqe_key = "spark.sql.adaptive.enabled"
+    aqe_prev = spark.conf.get(aqe_key, "true")
+    spark.conf.set(aqe_key, "false")
+    try:
+        # edges materialized once, hash-partitioned on src: every round's
+        # propagate join reuses this partitioning (checkpoint preserves
+        # outputPartitioning) instead of recomputing + re-shuffling the
+        # 2x|pairs| edge table per round. Built under the same AQE setting
+        # as the rounds so the partition counts line up.
+        sym = (pairs.select(F.col("id_a").alias("src"),
+                            F.col("id_b").alias("dst"))
+               .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                         F.col("id_a").alias("dst")))
+               .repartition("src").localCheckpoint(eager=True))
+        labels = nodes.select(F.col(id_col).alias("src"),
+                              F.col(id_col).alias("label")) \
+            .repartition("src").localCheckpoint(eager=True)
+        changed = 0
+        for _ in range(max_iters):
+            labels, changed = _round(labels)
+            if changed == 0:
+                break
+        if changed != 0:
+            # the LAST allowed round may itself have reached the fixpoint —
+            # verify with one extra round before declaring failure, and
+            # KEEP that round's labels either way (they are one round
+            # closer to the fixpoint; discarding computed work would hand
+            # back worse labels)
+            labels, would_change = _round(labels)
+            if would_change != 0:
+                msg = (f"dup_clusters did not converge in {max_iters} "
+                       f"rounds ({would_change} labels still changing): "
+                       "some clusters are split — raise max_iters")
+                if strict:
+                    raise RuntimeError(msg)
+                warnings.warn(msg)
+    finally:
+        spark.conf.set(aqe_key, aqe_prev)
     return labels.select(F.col("src").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

@@ -82,6 +82,17 @@ def run_bench(cpus: int) -> dict:
 
 N_TRIALS = int(os.environ.get("SPARK_SCALING_TRIALS", "5"))
 
+# Latency metrics, not throughput workloads: lineage_resume measures the
+# no-op-resume recovery guarantee (~50 ms of manifest reads, constant in
+# data size BY DESIGN — a number that must NOT scale with cores). Excluded
+# from the scaling aggregate, reported separately at both levels.
+LATENCY_QUERIES = {"lineage_resume"}
+
+
+def _work_total(res: dict) -> float:
+    return sum(v for q, v in res["queries"].items()
+               if q not in LATENCY_QUERIES)
+
 
 def main():
     probe = cpu_probe()
@@ -93,7 +104,7 @@ def main():
     trials = []
     for t in range(N_TRIALS):
         r = {c: run_bench(c) for c in LEVELS}
-        eff = (r[lo]["value"] / r[hi]["value"]) / factor
+        eff = (_work_total(r[lo]) / _work_total(r[hi])) / factor
         # per-trial host ceiling: what the raw CPU scales lo->hi right now,
         # measured the same way the engine runs (pinned when PIN)
         tp = {p: v for p, v in cpu_probe(pin=PIN).items() if p in (lo, hi)}
@@ -113,10 +124,12 @@ def main():
     }
     per_q = {}
     for q in results[lo]["queries"]:
+        if q in LATENCY_QUERIES:
+            continue
         t_lo = results[lo]["queries"][q]
         t_hi = results[hi]["queries"][q]
         per_q[q] = round((t_lo / t_hi) / factor, 3)
-    t_lo, t_hi = results[lo]["value"], results[hi]["value"]
+    t_lo, t_hi = _work_total(results[lo]), _work_total(results[hi])
     summary["efficiency_total"] = round(median_eff, 3)
     summary["efficiency_per_query"] = per_q
     summary["speedup_total"] = round(t_lo / t_hi, 2)
@@ -152,12 +165,22 @@ def main():
         "|---|---|---|---|---|",
     ]
     for q in results[lo]["queries"]:
+        if q in LATENCY_QUERIES:
+            continue
         a = results[lo]["queries"][q]
         b = results[hi]["queries"][q]
         lines.append(f"| {q} | {a:.2f} | {b:.2f} | {a / b:.2f}x | {per_q[q]:.3f} |")
     lines += [
         f"| **total** | {t_lo:.2f} | {t_hi:.2f} | {t_lo / t_hi:.2f}x | "
         f"{(t_lo / t_hi) / factor:.3f} |",
+        "",
+        "Excluded from the aggregate (latency guarantees, constant in data "
+        "size by design, so core-scaling does not apply): "
+        + "; ".join(
+            f"{q} = {results[lo]['queries'][q] * 1000:.0f} ms at {lo} "
+            f"cores / {results[hi]['queries'][q] * 1000:.0f} ms at {hi} "
+            "cores" for q in sorted(LATENCY_QUERIES)
+            if q in results[lo]["queries"]) + ".",
         "",
         f"Median efficiency across {len(trials)} paired trials"
         f"{' (taskset-pinned: local[N] confined to exactly N cores)' if PIN else ''}: "
@@ -185,7 +208,8 @@ def main():
         "steady-state a long-lived cluster job operates in. Sizes:",
         f"points={os.environ.get('BENCH_POINTS', '4000000')}, "
         f"docs={os.environ.get('BENCH_DOCS', '200000')}, "
-        f"minhash_docs={os.environ.get('BENCH_MINHASH', '80000')}.",
+        f"minhash_docs={os.environ.get('BENCH_MINHASH', '80000')}, "
+        f"cluster_nodes={os.environ.get('BENCH_CLUSTER_NODES', '400000')}.",
     ]
     (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
     print(json.dumps(summary))
