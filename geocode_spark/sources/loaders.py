@@ -162,18 +162,42 @@ def read_pages(spark: SparkSession, source: str,
 
     Either way the engine sees the same (url, warc_ts, html, text, lang)
     DataFrame and every downstream operator is storage-agnostic.
-    ``snapshot_id`` pins a historical snapshot (paths 1-2 only)."""
+    ``snapshot_id`` pins a historical snapshot (paths 1-2 only).
+
+    Fallback discipline: only the no-runtime-installed error
+    (DATA_SOURCE_NOT_FOUND) falls through. When a runtime IS present, its
+    real failures (missing snapshot, corrupt manifests) RAISE rather than
+    silently degrading to a plain parquet read of something else — and a
+    ``snapshot_id`` that cannot be honored is an error, never a silent
+    full-table read."""
     from . import iceberg
 
-    try:
+    def _runtime_read():
         reader = spark.read.format("iceberg")
         if snapshot_id is not None:
             reader = reader.option("snapshot-id", str(snapshot_id))
         return reader.load(source)
+
+    if iceberg.is_iceberg_table(spark, source):
+        # hadoop-layout table path: the runtime reader if installed
+        # (manifest-level pruning), else the built-in metadata layer
+        try:
+            return _runtime_read()
+        except Exception as e:
+            if "DATA_SOURCE_NOT_FOUND" not in str(e):
+                raise
+        return iceberg.read_iceberg(spark, source, snapshot_id)
+    # not a metadata-layout path: a catalog table name (needs the runtime)
+    # or a plain parquet path
+    try:
+        return _runtime_read()
     except Exception:
         pass
-    if iceberg.is_iceberg_table(spark, source):
-        return iceberg.read_iceberg(spark, source, snapshot_id)
+    if snapshot_id is not None:
+        raise ValueError(
+            f"snapshot_id={snapshot_id} given, but {source!r} is not an "
+            "Iceberg table readable here — refusing to silently read the "
+            "full parquet path instead of the pinned snapshot")
     return spark.read.parquet(source)
 
 

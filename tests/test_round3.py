@@ -210,6 +210,34 @@ class TestFacadeRound3:
         assert out[0] is None or out[0].startswith("UK")
 
 
+class TestReadPagesFallbackDiscipline:
+    def test_snapshot_pin_on_plain_parquet_raises(self, spark, tmp_path):
+        """A snapshot_id that cannot be honored must raise, never silently
+        read the full parquet path (the pinned-snapshot contract lineage
+        resume depends on)."""
+        from geocode_spark.sources.loaders import read_pages
+
+        pq = tmp_path / "plain"
+        spark.range(5).write.parquet(str(pq))
+        assert read_pages(spark, str(pq)).count() == 5
+        with pytest.raises(ValueError, match="snapshot_id"):
+            read_pages(spark, str(pq), snapshot_id=1)
+
+    def test_missing_snapshot_on_iceberg_table_raises(self, spark, tmp_path):
+        """Runtime absent here, so the metadata-layer reader serves the
+        table — and a nonexistent snapshot is an IcebergError, not a
+        fallback to reading whatever parquet lies under the path."""
+        from geocode_spark.sources import iceberg
+        from geocode_spark.sources.loaders import read_pages
+
+        tbl = tmp_path / "tbl"
+        df = spark.range(5).select(F.col("id").alias("url"))
+        iceberg.write_iceberg(spark, df, tbl)
+        assert read_pages(spark, str(tbl)).count() == 5
+        with pytest.raises(iceberg.IcebergError, match="not found"):
+            read_pages(spark, str(tbl), snapshot_id=99).count()
+
+
 class TestClearPreparedVersionSweep:
     def test_keep_version_spares_unversioned(self, tmp_path):
         """--keep-version is a stale-VERSION sweep: unversioned prepared
