@@ -1180,7 +1180,7 @@ SELECT u AS url, min(lab) AS cluster_id FROM reach GROUP BY u
 
     sql["ngram_jaccard"] = r"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(text), '\s+') AS w FROM documents),
+  SELECT doc_id, string_split_regex(lower(text), '[ \t\n\r\f]+') AS w FROM documents),
 g AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -1203,7 +1203,7 @@ WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.2
     # value hash) holds — see q_minhash_pairs.
     sql["minhash_pairs"] = rf"""
 WITH t AS (
-  SELECT url, string_split_regex(lower(text), '\s+') AS w FROM {pages}),
+  SELECT url, string_split_regex(lower(text), '[ \t\n\r\f]+') AS w FROM {pages}),
 g AS (
   SELECT DISTINCT url,
          unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
@@ -1276,7 +1276,7 @@ SELECT url, text, lang FROM {pages}
 
     sql["token_stats"] = r"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS ws_tokens,
+       len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x != '')) AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 0)) AS re_tokens
 FROM documents
 """
@@ -1285,7 +1285,7 @@ FROM documents
     sql["quality_score"] = rf"""
 WITH base AS (
   SELECT doc_id, length(text) AS n_chars_m,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x != '') AS toks,
          len(regexp_extract_all(text, '[.,;:!?]', 0)) AS n_punct
   FROM documents),
 feat AS (
@@ -1317,7 +1317,7 @@ FROM feat
     sql["lang_id"] = rf"""
 WITH t AS (
   SELECT doc_id,
-         list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+         list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
                                    x -> x != '')) AS w
   FROM documents),
 s AS (SELECT doc_id, {score_cols} FROM t)
@@ -1341,7 +1341,7 @@ WITH v AS (
   FROM documents),
 t AS (
   SELECT doc_id,
-         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm
+         regexp_replace(trim(lower(text)), '[ \t\n\r\f]+', ' ', 'g') AS norm
   FROM v)
 SELECT min(doc_id) AS min_id, count(*) AS n_docs
 FROM t GROUP BY norm

@@ -401,38 +401,35 @@ class GeocoderSpark:
         rows = self.reverse_geocode_gsp(df).orderBy("row_id").collect()
         return [(r.gsp, r.gsp_group) for r in rows]
 
-    def geocode_llsoa_list(self, llsoas) -> list[tuple] | tuple:
-        """Scalar-or-iterable like the reference (ons_nrs.py:348-349): a
-        single code returns one (lat, lon), an iterable returns a list."""
-        if scalar := isinstance(llsoas, str):
-            llsoas = [llsoas]
+    def _centroids_scalar_or_list(self, codes, method, in_col: str):
+        """Shared scalar-or-iterable centroid lookup (the reference accepts
+        either everywhere, ons_nrs.py:348-349/423-424/454-455): a single
+        code returns one (lat, lon) tuple, an iterable returns a list in
+        input order."""
+        if scalar := isinstance(codes, str):
+            codes = [codes]
         df = self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(llsoas)], "row_id long, llsoa string")
-        rows = self.geocode_llsoa(df).orderBy("row_id").collect()
+            [(i, c) for i, c in enumerate(codes)],
+            f"row_id long, {in_col} string")
+        rows = method(df).orderBy("row_id").collect()
         out = [(r.latitude, r.longitude) for r in rows]
         return out[0] if scalar else out
+
+    def geocode_llsoa_list(self, llsoas) -> list[tuple] | tuple:
+        """Scalar-or-iterable like the reference (ons_nrs.py:348-349)."""
+        return self._centroids_scalar_or_list(
+            llsoas, self.geocode_llsoa, "llsoa")
 
     def geocode_constituency_list(self, names) -> list[tuple] | tuple:
         """Constituency-name centroids, scalar-or-iterable
         (ons_nrs.py:423-424 semantics: name normalized case/space)."""
-        if scalar := isinstance(names, str):
-            names = [names]
-        df = self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(names)],
-            "row_id long, constituency string")
-        rows = self.geocode_constituency(df).orderBy("row_id").collect()
-        out = [(r.latitude, r.longitude) for r in rows]
-        return out[0] if scalar else out
+        return self._centroids_scalar_or_list(
+            names, self.geocode_constituency, "constituency")
 
     def geocode_local_authority_list(self, names) -> list[tuple] | tuple:
         """LAD-name centroids, scalar-or-iterable (ons_nrs.py:454-455)."""
-        if scalar := isinstance(names, str):
-            names = [names]
-        df = self.spark.createDataFrame(
-            [(i, c) for i, c in enumerate(names)], "row_id long, lad string")
-        rows = self.geocode_local_authority(df).orderBy("row_id").collect()
-        out = [(r.latitude, r.longitude) for r in rows]
-        return out[0] if scalar else out
+        return self._centroids_scalar_or_list(
+            names, self.geocode_local_authority, "lad")
 
     def reverse_geocode_nuts_list(self, latlons: list[tuple], level: int = 3,
                                   year: int = 2021, **kw) -> list:

@@ -101,8 +101,14 @@ def geocode_pages(spark, args):
     # lineage stamp then tracks the data actually read, and an append to
     # the table automatically invalidates prior buckets on the next run.
     # --snapshot stays as the override / non-Iceberg fallback.
-    snapshot = pages_snapshot_id(spark, args.infile) or args.snapshot
-    pages = read_pages(spark, args.infile)
+    # The read is PINNED to that same id: an unpinned read resolves the
+    # current snapshot at scan time, so a commit landing between the
+    # metadata probe and the (lazy) scan would compute buckets from data
+    # the manifests don't describe.
+    meta_sid = pages_snapshot_id(spark, args.infile)
+    snapshot = meta_sid or args.snapshot
+    pages = read_pages(spark, args.infile,
+                       snapshot_id=int(meta_sid) if meta_sid else None)
     cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
     llsoa = load_prepared("llsoa", args.prepared)
     gsp = load_prepared("gsp", args.prepared)

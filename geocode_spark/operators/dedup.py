@@ -64,6 +64,19 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     return acc
 
 
+def _drop_hot_buckets(df: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Stop-bucket skew guard shared by every LSH-style blocker
+    (minhash bands, simhash chunks, inverted-index grams): rows whose
+    bucket (grouped on ``keys``) exceeds ``cap`` are dropped BEFORE the
+    self-join, because pair blowup per bucket is quadratic. The standard
+    trade: pairs in dropped buckets are recovered only through their other
+    blocking keys (the recall consequences are documented per call
+    site)."""
+    sizes = (df.groupBy(*keys).agg(F.count("*").alias("__bn"))
+             .filter(F.col("__bn") <= cap).drop("__bn"))
+    return df.join(sizes, keys)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per byte-identical text. The window
@@ -142,11 +155,8 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         ).alias("band", "band_hash"),
     )
     if max_bucket_size is not None:
-        sizes = (banded.groupBy("band", "band_hash")
-                 .agg(F.count("*").alias("__bn"))
-                 .filter(F.col("__bn") <= max_bucket_size)
-                 .drop("__bn"))
-        banded = banded.join(sizes, ["band", "band_hash"])
+        banded = _drop_hot_buckets(banded, ["band", "band_hash"],
+                                   max_bucket_size)
     l = banded.alias("l")
     r = banded.alias("r")
     pairs = (
@@ -209,17 +219,41 @@ _TOKEN_SPLIT = "[ \t\n\r\f]+"
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
     """Vectorized FNV-1a-64 + splitmix64 over a token list: tokens padded
-    into a codepoint matrix, the FNV fold runs max_len times across ALL
-    tokens at once (uint64 wrap-around is the mod-2^64 arithmetic)."""
+    into a codepoint matrix, the FNV fold runs max_len times across a
+    GROUP of similar-length tokens at once (uint64 wrap-around is the
+    mod-2^64 arithmetic).
+
+    Grouping matters: padding ALL tokens to the global max length is
+    O(n_tokens x max_token_len) memory — one 200k-char unbroken token
+    (minified JS, a base64 blob, a long URL: routine in web corpora)
+    alongside 50k normal tokens would allocate an ~80 GB matrix and OOM
+    the executor. Tokens are hashed in length-sorted groups bounded by a
+    fixed element budget (~128 MB), so a pathological token inflates only
+    its own group."""
+    n = len(toks)
     lens = np.asarray([len(t) for t in toks])
-    mat = np.zeros((len(toks), int(lens.max())), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        mat[i, :len(t)] = np.frombuffer(
-            t.encode("utf-32-le"), dtype=np.uint32)
-    h = np.full(len(toks), _FNV_OFFSET, dtype=np.uint64)
-    for j in range(mat.shape[1]):
-        active = j < lens
-        h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
+    order = np.argsort(lens, kind="stable")
+    out = np.zeros(n, dtype=np.uint64)
+    budget = 1 << 24  # matrix elements per group (uint64 -> 128 MB)
+    g0 = 0
+    while g0 < n:
+        g1 = g0 + 1
+        while g1 < n and (g1 + 1 - g0) * int(lens[order[g1]]) <= budget:
+            g1 += 1
+        idx = order[g0:g1]
+        glens = lens[idx]
+        mat = np.zeros((len(idx), int(glens.max())), dtype=np.uint64)
+        for row, i in enumerate(idx):
+            t = toks[i]
+            mat[row, :len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)
+        h = np.full(len(idx), _FNV_OFFSET, dtype=np.uint64)
+        for j in range(mat.shape[1]):
+            active = j < glens
+            h[active] = (h[active] ^ mat[active, j]) * _FNV_PRIME
+        out[idx] = h
+        g0 = g1
+    h = out
     h ^= h >> np.uint64(30)
     h *= _SM_C1
     h ^= h >> np.uint64(27)
@@ -280,11 +314,8 @@ def simhash_near_pairs(df: DataFrame, id_col: str = "doc_id",
         ])).alias("chunk_pos", "chunk"),
     )
     if max_bucket_size is not None:
-        sizes = (with_chunks.groupBy("chunk_pos", "chunk")
-                 .agg(F.count("*").alias("__bn"))
-                 .filter(F.col("__bn") <= max_bucket_size)
-                 .drop("__bn"))
-        with_chunks = with_chunks.join(sizes, ["chunk_pos", "chunk"])
+        with_chunks = _drop_hot_buckets(with_chunks, ["chunk_pos", "chunk"],
+                                        max_bucket_size)
     l = with_chunks.alias("l")
     r = with_chunks.alias("r")
     cand = (
@@ -310,7 +341,7 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
     """Exact word-n-gram Jaccard for given candidate pairs (verification
     stage after LSH). Set algebra in Catalyst: array_intersect/array_union."""
     toks = df.select(F.col(id_col),
-                     F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks"))
+                     F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+").alias("__toks"))
     grams = toks.select(
         F.col(id_col),
         F.array_distinct(
@@ -339,7 +370,7 @@ def ngram_tokens(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                  n: int = 3) -> DataFrame:
     """(id, gram) distinct word-n-grams per document (Catalyst-only)."""
     toks = df.select(F.col(id_col),
-                     F.split(F.lower(F.col(text_col)), r"\s+").alias("__toks"))
+                     F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+").alias("__toks"))
     return toks.select(
         F.col(id_col),
         F.explode(F.array_distinct(
@@ -374,11 +405,7 @@ def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
     grams = ngram_tokens(df, text_col, id_col, n)
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("__n"))
     if max_gram_df is not None:
-        rare = (grams.groupBy("gram")
-                .agg(F.count("*").alias("__df"))
-                .filter(F.col("__df") <= max_gram_df)
-                .select("gram"))
-        grams = grams.join(rare, "gram")
+        grams = _drop_hot_buckets(grams, ["gram"], max_gram_df)
     l = grams.select(F.col(id_col).alias("id_a"), "gram")
     r = grams.select(F.col(id_col).alias("id_b"), "gram")
     inter = (

@@ -28,7 +28,7 @@ def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         df.withColumn(
             "ws_tokens",
-            F.size(F.filter(F.split(c, r"\s+"), lambda t: t != "")))
+            F.size(F.filter(F.split(c, r"[ \t\n\r\f]+"), lambda t: t != "")))
         .withColumn(
             "re_tokens",
             F.size(F.regexp_extract_all(c, F.lit(_TOKEN_REGEX), F.lit(0))))
@@ -40,7 +40,7 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     score in [0, 1] (heuristics in the C4/Gopher-rules family)."""
     c = F.col(text_col)
     n_chars = F.length(c)
-    toks = F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+    toks = F.filter(F.split(F.lower(c), r"[ \t\n\r\f]+"), lambda t: t != "")
     n_words = F.size(toks)
     stop = F.array([F.lit(w) for w in _LANG_MARKERS["en"]])
     n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop))
@@ -69,7 +69,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     over a fixed marker vocabulary ('und' unique to de, etc.). Deterministic
     tie-break: language order en, fr, de, es; 'unk' when zero hits."""
     toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+        F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+"), lambda t: t != ""))
     scores = [
         F.size(F.array_intersect(
             toks, F.array([F.lit(w) for w in words]))).alias(f"__s_{lang}")
@@ -88,7 +88,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
     lowercased text (rolling-hash-equivalent content identity)."""
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"[ \t\n\r\f]+", " ")
     return df.withColumn("fingerprint", F.xxhash64(norm))
 
 

@@ -127,16 +127,25 @@ class FsPath:
         return bool(self._fs.delete(self._jpath, True))
 
     def list_names(self, pattern: str = "*") -> list[str]:
-        """Names of direct children matching a Hadoop glob pattern."""
+        """Names of direct children matching a Hadoop glob pattern.
+
+        Only a null globStatus (nonexistent parent) maps to [] — real I/O
+        errors PROPAGATE. Swallowing them would convert a transient
+        hdfs/s3a failure into "no files", and for the lineage layer that
+        silent empty answer is the difference between "resume correctly"
+        and "skip the stale-dir sweep / recompute everything"."""
         glob = self._jvm.org.apache.hadoop.fs.Path(
             f"{self._jpath.toString()}/{pattern}")
-        try:
-            statuses = self._fs.globStatus(glob)
-        except Exception:
-            return []
+        statuses = self._fs.globStatus(glob)
         if statuses is None:
             return []
         return sorted(s.getPath().getName() for s in statuses)
+
+    def rename(self, dst: "FsPath") -> bool:
+        """Filesystem rename — the atomic commit primitive on file:// and
+        hdfs:// (object stores degrade to copy+delete; Iceberg's own
+        hadoop-catalog carries the same caveat)."""
+        return bool(self._fs.rename(self._jpath, dst._jpath))
 
     def read_bytes(self) -> bytes:
         stream = self._fs.open(self._jpath)

@@ -86,8 +86,21 @@ def run_with_lineage(
     manifests: dict[int, tuple[FsPath, dict]] = {}
     for name in lineage_dir.list_names("bucket=*.json"):
         mp = lineage_dir.child(name)
-        m = json.loads(mp.read_text())
-        manifests[int(m["bucket"])] = (mp, m)
+        try:
+            m = json.loads(mp.read_text())
+            bucket_id = int(m["bucket"])
+        except Exception:
+            # torn manifest from a crash mid-write — unparseable JSON, or
+            # a read that fails outright (a checksummed filesystem raises
+            # on a partial write's mismatched crc): either way this is an
+            # UNCOMMITTED bucket. Retract it and recompute, instead of the
+            # resume machinery itself failing on every restart. Worst case
+            # (a transient read error on a good manifest) is one bucket of
+            # wasted recompute, never wrong data. Deletes/lists still
+            # propagate their errors.
+            mp.delete_recursive()
+            continue
+        manifests[bucket_id] = (mp, m)
     if any(m.get("n_buckets") != n_buckets for _, m in manifests.values()):
         # bucket-count change: the hash partitioning itself moved — every
         # prior bucket is invalid. Retract ALL manifests before touching
@@ -119,6 +132,20 @@ def run_with_lineage(
             # not trust it)
             mp.delete_recursive()
 
+    # sweep every data dir NOT covered by a committed manifest: todo
+    # buckets about to be recomputed, and orphan dirs from a run that
+    # crashed before committing any manifest — including bucket ids beyond
+    # this n_buckets (a crashed larger-bucket-count run leaves dirs the
+    # n_buckets identity check above cannot see, because that check only
+    # reads manifests; a plain parquet read of <out> would double-count
+    # them forever). Safe ordering: every surviving dir's manifest is
+    # committed, every dir deleted here has no manifest (retracted above
+    # or never written), so a crash mid-sweep just re-runs the sweep.
+    keep = {f"bucket={b}" for b in committed}
+    for name in out.list_names("bucket=*"):
+        if name not in keep:
+            out.child(name).delete_recursive()
+
     results = [BucketResult(b, m["rows"], 0.0, skipped=True)
                for b, m in committed.items()]
     todo = [b for b in range(n_buckets) if b not in committed]
@@ -138,14 +165,10 @@ def run_with_lineage(
             raise ValueError(
                 "'bucket' is the reserved lineage partition column — rename "
                 "the transform output column")
-        # a todo bucket is by definition uncommitted for this
-        # (snapshot, version): clear any stale data now so a bucket that
-        # legitimately produces ZERO rows this run cannot inherit a prior
-        # run's files (dynamic overwrite only replaces partitions that are
-        # actually written). Manifests are written after the data, so a
-        # crash between this delete and the write just re-runs the bucket.
-        for b in todo:
-            out.child(f"bucket={b}").delete_recursive()
+        # todo-bucket data dirs were already cleared by the sweep above
+        # (so a bucket that legitimately produces ZERO rows this run
+        # cannot inherit a prior run's files — dynamic overwrite only
+        # replaces partitions that are actually written)
         bucketed = result.withColumn("bucket",
                                      _bucket_col(key_col, n_buckets))
         conf_key = "spark.sql.sources.partitionOverwriteMode"

@@ -100,10 +100,18 @@ def _meta_dir(spark, table_path) -> FsPath:
 
 
 def _current_version(meta: FsPath) -> int:
-    """Version from the hint file, else the highest v<N>.metadata.json."""
+    """Version from the hint file, else the highest v<N>.metadata.json.
+
+    A missing OR unparseable hint falls back to the newest metadata file:
+    the commit protocol (temp + rename, below) can leave the hint briefly
+    absent, and a torn write on a weaker filesystem must degrade to the
+    newest-version scan, not brick the table with a ValueError."""
     hint = meta.child("version-hint.text")
     if hint.exists():
-        return int(hint.read_text().strip())
+        try:
+            return int(hint.read_text().strip())
+        except ValueError:
+            pass
     versions = [int(n[1:].split(".")[0])
                 for n in meta.list_names("v*.metadata.json")]
     if not versions:
@@ -311,6 +319,17 @@ def write_iceberg(spark: "SparkSession", df: "DataFrame", table_path,
     }
     new_version = version + 1
     meta.child(f"v{new_version}.metadata.json").write_text(json.dumps(md))
-    # 5) the commit point: everything above is unreferenced until this flip
-    meta.child("version-hint.text").write_text(str(new_version))
+    # 5) the commit point: everything above is unreferenced until this
+    # flip. Temp + rename, NOT create(overwrite): a direct overwrite
+    # truncates the live hint before the new bytes land, so a crash (or a
+    # concurrent reader) mid-write would see an empty/partial hint. With
+    # rename the hint is always either the old value, the new value, or
+    # briefly absent — and an absent/torn hint falls back to the
+    # newest-metadata scan in _current_version.
+    hint = meta.child("version-hint.text")
+    tmp = meta.child(f"version-hint.text.tmp-{new_version}")
+    tmp.write_text(str(new_version))
+    hint.delete_recursive()
+    if not tmp.rename(hint):
+        raise IcebergError(f"commit failed: could not move {tmp} -> {hint}")
     return snap_id

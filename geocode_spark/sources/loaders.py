@@ -191,8 +191,18 @@ def read_pages(spark: SparkSession, source: str,
     # or a plain parquet path
     try:
         return _runtime_read()
-    except Exception:
-        pass
+    except Exception as e:
+        if "DATA_SOURCE_NOT_FOUND" not in str(e):
+            # a runtime IS installed. If the source exists as a filesystem
+            # path it is plausibly plain parquet — fall through. A
+            # non-path source is a catalog table name: the runtime's
+            # failure (permissions, corrupt catalog, missing branch) is
+            # the real error and must surface, not be masked by a
+            # nonsensical parquet read of the table NAME.
+            from ..plans.fsio import FsPath
+
+            if not FsPath(spark, source).exists():
+                raise
     if snapshot_id is not None:
         raise ValueError(
             f"snapshot_id={snapshot_id} given, but {source!r} is not an "

@@ -55,6 +55,44 @@ class TestFsAgnosticLineage:
                  if p.name.startswith("bucket=") and int(p.name[7:]) >= 3]
         assert stale == []
 
+    def test_torn_manifest_recomputes_bucket(self, spark, tmp_path):
+        """A manifest truncated by a crash mid-write is an UNCOMMITTED
+        bucket: the next run retracts it and recomputes, instead of the
+        resume machinery dying on JSONDecodeError forever."""
+        from geocode_spark.plans.lineage import read_lineage, run_with_lineage
+
+        df = spark.range(200).withColumn("k", F.col("id") % 10)
+        out = tmp_path / "torn_out"
+        run_with_lineage(df, out, key_col="id", n_buckets=4,
+                         snapshot_id="s1")
+        (out / "_lineage" / "bucket=2.json").write_text('{"bucket": 2, "n')
+        r = run_with_lineage(df, out, key_col="id", n_buckets=4,
+                             snapshot_id="s1")
+        assert sorted(b.bucket for b in r if not b.skipped) == [2]
+        assert spark.read.parquet(str(out)).count() == 200
+        assert len(read_lineage(out, spark=spark)) == 4
+
+    def test_orphan_bucket_dirs_swept(self, spark, tmp_path):
+        """Data dirs with NO manifest — a run that crashed before
+        committing anything, including bucket ids beyond the current
+        n_buckets — are swept on the next run, so a parquet read of the
+        out_dir can never double-count them."""
+        from geocode_spark.plans.lineage import run_with_lineage
+
+        df = spark.range(120).withColumn("k", F.col("id") % 10)
+        out = tmp_path / "orphan_out"
+        run_with_lineage(df, out, key_col="id", n_buckets=3,
+                         snapshot_id="s1")
+        # fake a crashed 8-bucket run's leftovers: data dir, no manifest
+        spark.range(50).withColumn("k", F.col("id") % 10) \
+            .write.parquet(str(out / "bucket=7"))
+        assert spark.read.parquet(str(out)).count() == 170  # the hazard
+        r = run_with_lineage(df, out, key_col="id", n_buckets=3,
+                             snapshot_id="s1")
+        assert all(b.skipped for b in r)  # committed buckets untouched
+        assert not (out / "bucket=7").exists()
+        assert spark.read.parquet(str(out)).count() == 120
+
     def test_fspath_footer_rows_matches_count(self, spark, tmp_path):
         """Footer-metadata row counts through the positional-read file-like
         must equal a real count, over multiple files."""
@@ -208,6 +246,26 @@ class TestFacadeRound3:
         out = g.reverse_geocode_nuts_list([(54.5478, -1.1956)], level=3)
         assert len(out) == 1
         assert out[0] is None or out[0].startswith("UK")
+
+
+class TestIcebergCommitDurability:
+    def test_torn_version_hint_falls_back(self, spark, tmp_path):
+        """An empty/garbage version-hint (torn write on a weak filesystem)
+        must degrade to the newest-metadata scan, not brick the table."""
+        from geocode_spark.sources import iceberg
+
+        tbl = tmp_path / "tbl"
+        df = spark.range(7).select(F.col("id").alias("url"))
+        iceberg.write_iceberg(spark, df, tbl)
+        hint = tbl / "metadata" / "version-hint.text"
+        assert hint.read_text().strip() == "1"
+        hint.write_text("")
+        assert iceberg.is_iceberg_table(spark, tbl)
+        assert iceberg.current_snapshot_id(spark, tbl) == 1
+        assert iceberg.read_iceberg(spark, tbl).count() == 7
+        # and the next commit repairs the hint
+        iceberg.write_iceberg(spark, df, tbl, mode="append")
+        assert hint.read_text().strip() == "2"
 
 
 class TestReadPagesFallbackDiscipline:
