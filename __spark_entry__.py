@@ -477,6 +477,73 @@ def q_lang_id(spark, sf_dir):
     return with_lang_id(docs).select("doc_id", "lang_pred")
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Intra-document duplicate-3-gram fraction (Gopher-family quality
+    signal) over the word-soup documents corpus — the repeated vocabulary
+    makes scores vary document to document, so the oracle discriminates."""
+    from geocode_spark.operators.text import with_repetition_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_repetition_score(docs, n=3).select(
+        "doc_id", "ngram_total", "ngram_distinct",
+        F.round("repetition_score", 6).alias("repetition_score"))
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: docs sharing a distinct word-4-gram
+    with the held-out 'benchmark' slice (doc_id % 17 == 0) — 38 flagged
+    docs at sf0.01. Broadcast bench-gram join, corpus never shuffled on
+    gram."""
+    from geocode_spark.operators.text import contamination_flags
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_flags(corpus, benchmark, n=4, min_overlap=1)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization over deterministically-dirtied page urls (the
+    fixture urls are uniform, so the query itself appends case, fragment,
+    tracking-param, port and trailing-slash variants by url index — each
+    canonicalization rule is forced to fire; both sides build the same
+    dirty input)."""
+    from geocode_spark.operators.text import canonicalize_urls
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet").select("url")
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    dirty = F.when(i % 4 == 0, F.concat(
+        F.lit("HTTPS://Example.ORG"),
+        F.expr("substring(url, 20)"), F.lit("#section-2")))
+    dirty = dirty.when(i % 4 == 1, F.concat(
+        F.col("url"), F.lit("?utm_source=feed&page="), i % 7,
+        F.lit("&fbclid=abc")))
+    dirty = dirty.when(i % 4 == 2, F.concat(
+        F.lit("https://example.org:443"),
+        F.expr("substring(url, 20)"), F.lit("/")))
+    dirty = dirty.otherwise(F.col("url"))
+    out = canonicalize_urls(pages.withColumn("dirty_url", dirty),
+                            url_col="dirty_url")
+    return out.select("url", "dirty_url", "canonical_url", "domain")
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus stats over canonicalized urls: the groupBy key is
+    the canonical domain, the aggregate is docs + mean whitespace tokens."""
+    from geocode_spark.operators.text import (canonicalize_urls,
+                                              with_token_counts)
+
+    pages = spark.read.parquet(f"{FIX}/pages.parquet").select("url", "text")
+    i = F.regexp_extract("url", "([0-9]+)$", 1).cast("long")
+    hosted = pages.withColumn(
+        "url", F.concat(F.lit("https://host"), i % 5,
+                        F.lit(".example.org/p/"), i))
+    out = canonicalize_urls(with_token_counts(hosted))
+    return (out.groupBy("domain")
+            .agg(F.count("*").alias("n_docs"),
+                 F.round(F.avg("ws_tokens"), 6).alias("avg_ws_tokens")))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Fingerprint partition semantics: docs share a fingerprint iff their
     whitespace-normalized lowercased text is identical. The input is built
@@ -751,6 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_scores": q_repetition_scores,
+        "contamination": q_contamination,
+        "url_canonical": q_url_canonical,
+        "domain_stats": q_domain_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1345,6 +1416,117 @@ t AS (
   FROM v)
 SELECT min(doc_id) AS min_id, count(*) AS n_docs
 FROM t GROUP BY norm
+"""
+
+    # repetition_scores: duplicate-3-gram fraction per document. Tokens
+    # are empty-filtered (matching with_repetition_score); grams KEEP
+    # duplicates (that is the point).
+    sql["repetition_scores"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
+                     x -> x != '') AS w
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE []::VARCHAR[] END AS grams
+  FROM t)
+SELECT doc_id,
+       len(grams) AS ngram_total,
+       len(list_distinct(grams)) AS ngram_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams)
+                  ELSE 0.0 END, 6) AS repetition_score
+FROM g
+"""
+
+    # contamination: corpus docs sharing >= 1 distinct 4-gram with the
+    # benchmark slice (doc_id % 17 == 0) — 38 flagged docs at sf0.01, a
+    # discriminating set. Tokenization mirrors ngram_tokens (no
+    # empty-filter, distinct grams per doc).
+    sql["contamination"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(lower(text), '[ \t\n\r\f]+') AS w
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                     || w[i+3])) AS gram
+  FROM t WHERE len(w) >= 4),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 17 != 0)
+SELECT doc_id, count(*) AS contaminated_grams
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id HAVING count(*) >= 1
+"""
+
+    # url_canonical: the identical deterministic dirtying + the full
+    # canonicalization pipeline transcribed step for step (explicit char
+    # classes only — Java regex and RE2 agree on every pattern here).
+    sql["url_canonical"] = rf"""
+WITH p AS (SELECT url,
+                  CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS i
+           FROM {pages}),
+d AS (
+  SELECT url,
+         CASE i % 4
+           WHEN 0 THEN 'HTTPS://Example.ORG' || substring(url, 20)
+                       || '#section-2'
+           WHEN 1 THEN url || '?utm_source=feed&page='
+                       || CAST(i % 7 AS VARCHAR) || '&fbclid=abc'
+           WHEN 2 THEN 'https://example.org:443' || substring(url, 20) || '/'
+           ELSE url END AS dirty_url
+  FROM p),
+c1 AS (SELECT url, dirty_url,
+              regexp_extract(dirty_url, '^([^#]*)', 1) AS base FROM d),
+c2 AS (SELECT *, regexp_extract(base, '^([^?]*)', 1) AS pre,
+              regexp_extract(base, '^[^?]*\?(.*)$', 1) AS q FROM c1),
+c3 AS (SELECT *, regexp_extract(pre,
+              '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS sh_raw FROM c2),
+c4 AS (SELECT *,
+              regexp_replace(regexp_replace(lower(sh_raw),
+                  '^(http://[^/:]*):80$', '\1'),
+                  '^(https://[^/:]*):443$', '\1') AS sh,
+              regexp_replace(substring(pre, length(sh_raw) + 1),
+                             '/+$', '') AS path
+       FROM c3),
+c5 AS (SELECT *,
+              array_to_string(list_filter(string_split(q, '&'),
+                  x -> x != '' AND NOT regexp_matches(x,
+                      '^(utm_[^=]*|fbclid|gclid|msclkid|ref)=')),
+                  '&') AS qk
+       FROM c4)
+SELECT url, dirty_url,
+       sh || path || CASE WHEN qk != '' THEN '?' || qk ELSE '' END
+           AS canonical_url,
+       regexp_extract(sh, '^[a-z][a-z0-9+.-]*://([^/:]*)', 1) AS domain
+FROM c5
+"""
+
+    # domain_stats: per-domain doc counts + mean whitespace tokens over
+    # deterministically-hosted urls (5 synthetic domains).
+    sql["domain_stats"] = rf"""
+WITH p AS (SELECT url, text,
+                  CAST(regexp_extract(url, '([0-9]+)$', 1) AS BIGINT) AS i
+           FROM {pages}),
+h AS (SELECT 'https://host' || CAST(i % 5 AS VARCHAR) || '.example.org/p/'
+             || CAST(i AS VARCHAR) AS url, text FROM p),
+tok AS (SELECT url,
+               len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'),
+                               x -> x != '')) AS ws_tokens
+        FROM h),
+dom AS (SELECT regexp_extract(lower(regexp_extract(url,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+                   '^[a-z][a-z0-9+.-]*://([^/:]*)', 1) AS domain,
+               ws_tokens
+        FROM tok)
+SELECT domain, count(*) AS n_docs, round(avg(ws_tokens), 6) AS avg_ws_tokens
+FROM dom GROUP BY domain
 """
 
     sql["ann_topk"] = """

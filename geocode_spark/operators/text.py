@@ -92,8 +92,117 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.xxhash64(norm))
 
 
+def with_repetition_score(df: DataFrame, text_col: str = "text",
+                          n: int = 3) -> DataFrame:
+    """Intra-document repetition (Gopher/RefinedWeb-family quality signal):
+    the fraction of word n-grams that are duplicates of an earlier n-gram
+    in the SAME document. Boilerplate, keyword-stuffed and
+    template-generated pages score high; natural prose scores near 0.
+
+    Adds ``ngram_total``, ``ngram_distinct`` and ``repetition_score``
+    (= 1 - distinct/total, 0.0 for docs shorter than one n-gram). Pure
+    Catalyst array algebra — stays inside whole-stage codegen, composes
+    with the other profile passes without a shuffle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+"),
+                    lambda t: t != "")
+    df = df.withColumn("__toks", toks)
+    grams = F.transform(
+        F.filter(
+            F.transform(F.col("__toks"),
+                        lambda w, i: F.slice(F.col("__toks"), i + 1, n)),
+            lambda arr: F.size(arr) == n),
+        lambda arr: F.array_join(arr, " "))
+    df = df.withColumn("__grams", grams)
+    total = F.size(F.col("__grams"))
+    distinct = F.size(F.array_distinct(F.col("__grams")))
+    return (df.withColumn("ngram_total", total)
+            .withColumn("ngram_distinct", distinct)
+            .withColumn("repetition_score",
+                        F.when(total > 0,
+                               1.0 - distinct / total).otherwise(0.0))
+            .drop("__toks", "__grams"))
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, min_overlap: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_overlap`` distinct word-``n``-grams with ANY benchmark document
+    (the standard eval-leakage screen a training-data pipeline runs before
+    every release).
+
+    Returns (id_col, contaminated_grams) for flagged documents only.
+
+    100 TB shape: the benchmark side is SMALL (eval sets are KB-MB) — its
+    distinct gram set is broadcast; the corpus side is one explode + one
+    broadcast join + one aggregation shuffle keyed by document id. The
+    corpus is never shuffled on gram, so a boilerplate gram cannot skew
+    the exchange."""
+    from .dedup import ngram_tokens
+
+    bench_grams = (ngram_tokens(benchmark, text_col, id_col, n)
+                   .select("gram").distinct())
+    doc_grams = ngram_tokens(docs, text_col, id_col, n)
+    return (doc_grams.join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count("gram").alias("contaminated_grams"))
+            .filter(F.col("contaminated_grams") >= min_overlap))
+
+
+# tracking query parameters dropped by canonicalize_urls (the common
+# analytics/click-id families; explicit list so both regex engines agree)
+_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid|msclkid|ref)="
+
+
+def canonicalize_urls(df: DataFrame, url_col: str = "url",
+                      out_col: str = "canonical_url") -> DataFrame:
+    """URL canonicalization for web-corpus dedup: lowercase scheme+host,
+    strip the #fragment, drop default :80/:443 ports, strip trailing
+    slashes, and drop tracking query parameters (utm_*, fbclid, gclid,
+    msclkid, ref) while preserving the rest of the query in order.
+
+    Adds ``out_col`` and ``domain`` (lowercased host without port). A
+    string with no scheme passes through path-normalization only. Pure
+    Catalyst (regexp + array ops) — explicit character classes only, so
+    Java regex and RE2 (the DuckDB oracle) agree on every input."""
+    u = F.col(url_col)
+    df = df.withColumn("__base", F.regexp_extract(u, "^([^#]*)", 1))
+    df = df.withColumn("__pre",
+                       F.regexp_extract(F.col("__base"), "^([^?]*)", 1))
+    df = df.withColumn("__q", F.regexp_extract(F.col("__base"),
+                                               "^[^?]*[?](.*)$", 1))
+    df = df.withColumn(
+        "__sh_raw",
+        F.regexp_extract(F.col("__pre"),
+                         "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    sh = F.lower(F.col("__sh_raw"))
+    sh = F.regexp_replace(sh, "^(http://[^/:]*):80$", "$1")
+    sh = F.regexp_replace(sh, "^(https://[^/:]*):443$", "$1")
+    df = df.withColumn("__sh", sh)
+    df = df.withColumn(
+        "__path",
+        F.regexp_replace(
+            F.expr("substring(__pre, length(__sh_raw) + 1)"), "/+$", ""))
+    keep = F.filter(
+        F.split(F.col("__q"), "[&]"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE))
+    df = df.withColumn("__qk", F.array_join(keep, "&"))
+    canonical = F.concat(
+        F.col("__sh"), F.col("__path"),
+        F.when(F.col("__qk") != "",
+               F.concat(F.lit("?"), F.col("__qk"))).otherwise(F.lit("")))
+    domain = F.regexp_extract(F.col("__sh"),
+                              "^[a-z][a-z0-9+.-]*://([^/:]*)", 1)
+    return (df.withColumn(out_col, canonical)
+            .withColumn("domain", domain)
+            .drop("__base", "__pre", "__q", "__sh_raw", "__sh", "__path",
+                  "__qk"))
+
+
 def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All analysis columns in one codegen'd pass."""
-    return with_fingerprint(
-        with_lang_id(with_quality_score(with_token_counts(df, text_col),
-                                        text_col), text_col), text_col)
+    return with_repetition_score(
+        with_fingerprint(
+            with_lang_id(with_quality_score(with_token_counts(df, text_col),
+                                            text_col), text_col), text_col),
+        text_col)

@@ -98,6 +98,67 @@ class TestText:
         fps = [r.fingerprint for r in text_profile(df2).collect()]
         assert fps[0] == fps[1]
 
+    def test_repetition_score(self, spark):
+        from geocode_spark.operators.text import with_repetition_score
+
+        df = spark.createDataFrame(
+            [(0, "a b c a b c a b c"),       # "a b c" heavy repetition
+             (1, "one two three four five"),  # all distinct
+             (2, "x y"),                      # shorter than one 3-gram
+             (3, "")],
+            "doc_id long, text string")
+        out = {r.doc_id: r for r in
+               with_repetition_score(df, n=3).collect()}
+        # 7 grams, 3 distinct (abc/bca/cab) -> 4/7 duplicated
+        assert out[0].ngram_total == 7 and out[0].ngram_distinct == 3
+        assert out[0].repetition_score == pytest.approx(4 / 7)
+        assert out[1].repetition_score == 0.0
+        assert out[2].ngram_total == 0 and out[2].repetition_score == 0.0
+        assert out[3].repetition_score == 0.0
+
+    def test_contamination_flags(self, spark):
+        from geocode_spark.operators.text import contamination_flags
+
+        bench = spark.createDataFrame(
+            [(100, "the quick brown fox jumps")],
+            "doc_id long, text string")
+        docs = spark.createDataFrame(
+            [(0, "intro text the quick brown fox jumps over"),  # leaked
+             (1, "completely unrelated words here entirely"),
+             (2, "the quick brown cat sits still")],  # shares no 5-gram
+            "doc_id long, text string")
+        out = {r.doc_id: r.contaminated_grams for r in
+               contamination_flags(docs, bench, n=5).collect()}
+        assert 0 in out and out[0] == 1
+        assert 1 not in out and 2 not in out
+        # the bench-gram side must be broadcast (eval sets are small; the
+        # corpus must never shuffle on gram)
+        plan = contamination_flags(docs, bench, n=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_canonicalize_urls(self, spark):
+        from geocode_spark.operators.text import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(0, "HTTPS://Example.ORG/Page/1#frag"),
+             (1, "https://example.org/a?utm_source=x&q=1&fbclid=z"),
+             (2, "http://example.org:80/a/"),
+             (3, "https://example.org:8443/a"),   # non-default port kept
+             (4, "relative/path/only/"),
+             (5, "https://example.org/")],
+            "doc_id long, url string")
+        out = {r.doc_id: r for r in canonicalize_urls(df).collect()}
+        assert out[0].canonical_url == "https://example.org/Page/1"
+        assert out[0].domain == "example.org"
+        assert out[1].canonical_url == "https://example.org/a?q=1"
+        assert out[2].canonical_url == "http://example.org/a"
+        assert out[3].canonical_url == "https://example.org:8443/a"
+        assert out[3].domain == "example.org"
+        assert out[4].canonical_url == "relative/path/only"
+        assert out[4].domain == ""
+        assert out[5].canonical_url == "https://example.org"
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")
