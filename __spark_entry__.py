@@ -1348,7 +1348,7 @@ SELECT url, text, lang FROM {pages}
     sql["token_stats"] = r"""
 SELECT doc_id,
        len(list_filter(string_split_regex(text, '[ \t\n\r\f]+'), x -> x != '')) AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]', 0)) AS re_tokens
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]', 0)) AS re_tokens
 FROM documents
 """
 

@@ -97,18 +97,34 @@ def geocode_pages(spark, args):
     from .regions import load_prepared
     from .sources.loaders import pages_snapshot_id, read_pages
 
-    # An Iceberg input supplies its snapshot id from TABLE METADATA — the
-    # lineage stamp then tracks the data actually read, and an append to
-    # the table automatically invalidates prior buckets on the next run.
-    # --snapshot stays as the override / non-Iceberg fallback.
-    # The read is PINNED to that same id: an unpinned read resolves the
-    # current snapshot at scan time, so a commit landing between the
-    # metadata probe and the (lazy) scan would compute buckets from data
-    # the manifests don't describe.
+    # Snapshot resolution, in priority order:
+    #   1. an EXPLICIT --snapshot on an Iceberg input = time travel: the
+    #      read is pinned to that historical snapshot and lineage stamps
+    #      the same id (an override the user asked for must never be
+    #      silently replaced by the current snapshot);
+    #   2. otherwise an Iceberg input supplies its CURRENT snapshot id
+    #      from table metadata — and the read is PINNED to that same id,
+    #      because an unpinned read resolves the current snapshot at scan
+    #      time, so a commit landing between the metadata probe and the
+    #      (lazy) scan would compute buckets the manifests don't describe;
+    #   3. plain-parquet inputs fall back to --snapshot as an opaque
+    #      lineage label (no pinning possible).
     meta_sid = pages_snapshot_id(spark, args.infile)
-    snapshot = meta_sid or args.snapshot
-    pages = read_pages(spark, args.infile,
-                       snapshot_id=int(meta_sid) if meta_sid else None)
+    user_sid = None if args.snapshot == _SNAPSHOT_DEFAULT else args.snapshot
+    if meta_sid and user_sid:
+        try:
+            pin = int(user_sid)
+        except ValueError:
+            raise SystemExit(
+                f"--snapshot {user_sid!r}: an Iceberg input needs a numeric "
+                "snapshot id to time-travel to (omit the flag to use the "
+                "table's current snapshot)")
+        snapshot = user_sid
+    elif meta_sid:
+        snapshot, pin = meta_sid, int(meta_sid)
+    else:
+        snapshot, pin = args.snapshot, None
+    pages = read_pages(spark, args.infile, snapshot_id=pin)
     cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
     llsoa = load_prepared("llsoa", args.prepared)
     gsp = load_prepared("gsp", args.prepared)
@@ -225,6 +241,10 @@ JOBS = {
 # lifecycle jobs take no input/output files
 _NO_IO_JOBS = {"setup", "clear-cache", "debug"}
 
+# sentinel --snapshot default: lets geocode_pages tell "user explicitly
+# pinned a snapshot" apart from "flag left at its default"
+_SNAPSHOT_DEFAULT = "snapshot-0"
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog="geocode_spark.jobs")
@@ -237,7 +257,7 @@ def main(argv=None):
     p.add_argument("--fixtures", default="/root/repo/fixtures")
     p.add_argument("--datazones", action="store_true")
     p.add_argument("--buckets", type=int, default=8)
-    p.add_argument("--snapshot", default="snapshot-0")
+    p.add_argument("--snapshot", default=_SNAPSHOT_DEFAULT)
     p.add_argument("--name", default="regions")
     p.add_argument("--id-property", dest="id_property", default="region_id")
     p.add_argument("--attrs", default="")

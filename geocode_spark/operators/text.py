@@ -18,8 +18,11 @@ _LANG_MARKERS = {
     "es": ["el", "la", "los", "de", "que", "y", "es", "en", "una", "por"],
 }
 
-# BPE-ish token split: words, numbers, or single non-space symbols
-_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+# BPE-ish token split: words, numbers, or single non-space symbols.
+# Explicit whitespace class (including \x0B) instead of \s: Java regex
+# counts \x0B in \s, RE2 (the DuckDB oracle) does not — the one
+# engine-divergent surface the class removes.
+_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^ \t\n\x0B\f\rA-Za-z0-9]"
 
 
 def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -100,11 +103,16 @@ def with_repetition_score(df: DataFrame, text_col: str = "text",
     template-generated pages score high; natural prose scores near 0.
 
     Adds ``ngram_total``, ``ngram_distinct`` and ``repetition_score``
-    (= 1 - distinct/total, 0.0 for docs shorter than one n-gram). Pure
-    Catalyst array algebra — stays inside whole-stage codegen, composes
-    with the other profile passes without a shuffle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"[ \t\n\r\f]+"),
-                    lambda t: t != "")
+    (= 1 - distinct/total, 0.0 for docs shorter than one n-gram). NULL
+    text counts as empty (without the coalesce, size(NULL array) is
+    -1/NULL and the counts would diverge from the 0 every consumer — and
+    the DuckDB oracle — expects). Pure Catalyst array algebra — stays
+    inside whole-stage codegen, composes with the other profile passes
+    without a shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                r"[ \t\n\r\f]+"),
+        lambda t: t != "")
     df = df.withColumn("__toks", toks)
     grams = F.transform(
         F.filter(

@@ -62,6 +62,28 @@ class BucketResult:
     skipped: bool
 
 
+def _read_manifest(mp: FsPath) -> dict | None:
+    """Read + parse one manifest. Returns None for TORN content
+    (unparseable JSON, or a deterministic corruption error — checksum
+    mismatch / unexpected EOF from a partial write). A transient I/O
+    failure is retried and then RAISED: on a flaky store, converting a
+    blip into "torn" would retract committed manifests wholesale and
+    silently discard a multi-hour run's completed work."""
+    last: Exception | None = None
+    for attempt in range(3):
+        try:
+            return json.loads(mp.read_text())
+        except ValueError:
+            return None  # read succeeded, content is torn
+        except Exception as e:
+            msg = str(e)
+            if "Checksum" in msg or "EOFException" in msg:
+                return None  # deterministic partial-write corruption
+            last = e
+            time.sleep(0.2 * (attempt + 1))
+    raise last
+
+
 def _bucket_col(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets))
 
@@ -86,18 +108,18 @@ def run_with_lineage(
     manifests: dict[int, tuple[FsPath, dict]] = {}
     for name in lineage_dir.list_names("bucket=*.json"):
         mp = lineage_dir.child(name)
+        m = _read_manifest(mp)
         try:
-            m = json.loads(mp.read_text())
-            bucket_id = int(m["bucket"])
-        except Exception:
-            # torn manifest from a crash mid-write — unparseable JSON, or
-            # a read that fails outright (a checksummed filesystem raises
-            # on a partial write's mismatched crc): either way this is an
-            # UNCOMMITTED bucket. Retract it and recompute, instead of the
-            # resume machinery itself failing on every restart. Worst case
-            # (a transient read error on a good manifest) is one bucket of
-            # wasted recompute, never wrong data. Deletes/lists still
-            # propagate their errors.
+            bucket_id = int(m["bucket"]) if m is not None else None
+        except (KeyError, ValueError, TypeError):
+            bucket_id = None
+        if bucket_id is None:
+            # torn manifest from a crash mid-write (unparseable JSON /
+            # missing fields / a deterministic corruption error like a
+            # checksum mismatch on a partial write): an UNCOMMITTED
+            # bucket — retract and recompute, instead of the resume
+            # machinery itself failing on every restart. Blast radius is
+            # that one bucket.
             mp.delete_recursive()
             continue
         manifests[bucket_id] = (mp, m)

@@ -110,7 +110,10 @@ def _current_version(meta: FsPath) -> int:
     if hint.exists():
         try:
             return int(hint.read_text().strip())
-        except ValueError:
+        except Exception:
+            # unparseable content OR a read that lost the race with the
+            # commit's delete-then-rename window (exists() saw the hint,
+            # read_text() found it gone): both degrade to the scan below
             pass
     versions = [int(n[1:].split(".")[0])
                 for n in meta.list_names("v*.metadata.json")]
@@ -318,7 +321,19 @@ def write_iceberg(spark: "SparkSession", df: "DataFrame", table_path,
         "metadata-log": [],
     }
     new_version = version + 1
-    meta.child(f"v{new_version}.metadata.json").write_text(json.dumps(md))
+    # temp + rename for the metadata json as well: the newest-version
+    # fallback in _current_version SELECTS this file when the hint is
+    # absent, so a crash mid-write must never leave a half-written
+    # v<N>.metadata.json in place (it would brick every read AND every
+    # subsequent commit). The .tmp name does not match the
+    # v*.metadata.json glob, so an orphaned temp is invisible.
+    md_final = meta.child(f"v{new_version}.metadata.json")
+    md_tmp = meta.child(f"v{new_version}.metadata.json.tmp")
+    md_tmp.write_text(json.dumps(md))
+    md_final.delete_recursive()
+    if not md_tmp.rename(md_final):
+        raise IcebergError(
+            f"commit failed: could not move {md_tmp} -> {md_final}")
     # 5) the commit point: everything above is unreferenced until this
     # flip. Temp + rename, NOT create(overwrite): a direct overwrite
     # truncates the live hint before the new bytes land, so a crash (or a

@@ -198,10 +198,17 @@ def read_pages(spark: SparkSession, source: str,
             # non-path source is a catalog table name: the runtime's
             # failure (permissions, corrupt catalog, missing branch) is
             # the real error and must surface, not be masked by a
-            # nonsensical parquet read of the table NAME.
+            # nonsensical parquet read of the table NAME. The probe
+            # itself may throw on a name Hadoop Path cannot parse
+            # ('cat:db.tbl') — that too means "not a path": surface the
+            # ORIGINAL runtime error, not the probe's.
             from ..plans.fsio import FsPath
 
-            if not FsPath(spark, source).exists():
+            try:
+                is_path = FsPath(spark, source).exists()
+            except Exception:
+                is_path = False
+            if not is_path:
                 raise
     if snapshot_id is not None:
         raise ValueError(

@@ -105,7 +105,8 @@ class TestText:
             [(0, "a b c a b c a b c"),       # "a b c" heavy repetition
              (1, "one two three four five"),  # all distinct
              (2, "x y"),                      # shorter than one 3-gram
-             (3, "")],
+             (3, ""),
+             (4, None)],                      # NULL text == empty
             "doc_id long, text string")
         out = {r.doc_id: r for r in
                with_repetition_score(df, n=3).collect()}
@@ -115,6 +116,7 @@ class TestText:
         assert out[1].repetition_score == 0.0
         assert out[2].ngram_total == 0 and out[2].repetition_score == 0.0
         assert out[3].repetition_score == 0.0
+        assert out[4].ngram_total == 0 and out[4].repetition_score == 0.0
 
     def test_contamination_flags(self, spark):
         from geocode_spark.operators.text import contamination_flags

@@ -167,10 +167,11 @@ class TestSnapshotAwareLineage:
         """North-star wiring: geocode_pages over an ICEBERG input derives
         the lineage snapshot id from table metadata — resume under the same
         snapshot skips all buckets; an APPEND to the table (new snapshot)
-        invalidates and recomputes automatically, no hand-passed id."""
+        invalidates and recomputes automatically, no hand-passed id; an
+        EXPLICIT --snapshot time-travels back."""
         from types import SimpleNamespace
 
-        from geocode_spark.jobs import geocode_pages
+        from geocode_spark.jobs import _SNAPSHOT_DEFAULT, geocode_pages
         from geocode_spark.plans.lineage import read_lineage
         from geocode_spark.sources import iceberg
 
@@ -181,7 +182,7 @@ class TestSnapshotAwareLineage:
         args = SimpleNamespace(infile=str(tbl), outfile=str(out),
                                prepared=str(fixture_dir / "prepared"),
                                fixtures=str(fixture_dir),
-                               buckets=3, snapshot="ignored-fallback")
+                               buckets=3, snapshot=_SNAPSHOT_DEFAULT)
         geocode_pages(spark, args)
         m1 = read_lineage(out, spark=spark)
         assert len(m1) == 3
@@ -200,3 +201,17 @@ class TestSnapshotAwareLineage:
         m2 = read_lineage(out, spark=spark)
         assert all(m["snapshot_id"] == "2" for m in m2)
         assert spark.read.parquet(str(out)).count() > rows1
+
+        # explicit --snapshot 1 = time travel: the pin wins over the
+        # current snapshot, both in the read and in the lineage stamp
+        geocode_pages(spark, SimpleNamespace(**{**vars(args),
+                                                "snapshot": "1"}))
+        m3 = read_lineage(out, spark=spark)
+        assert all(m["snapshot_id"] == "1" for m in m3)
+        assert spark.read.parquet(str(out)).count() == rows1
+
+        # a non-numeric explicit --snapshot on an Iceberg input is an
+        # error, never silently replaced by the current snapshot
+        with pytest.raises(SystemExit, match="numeric"):
+            geocode_pages(spark, SimpleNamespace(**{**vars(args),
+                                                    "snapshot": "nope"}))
