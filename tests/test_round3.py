@@ -93,6 +93,35 @@ class TestFsAgnosticLineage:
         assert not (out / "bucket=7").exists()
         assert spark.read.parquet(str(out)).count() == 120
 
+    def test_read_manifest_retry_discipline(self):
+        """Transient I/O failures retry then RAISE (never retract
+        committed state); deterministic corruption (parse error /
+        checksum / EOF) reads as torn -> None."""
+        from geocode_spark.plans.lineage import _read_manifest
+
+        class Flaky:
+            def __init__(self, fails, exc):
+                self.fails, self.exc, self.calls = fails, exc, 0
+
+            def read_text(self):
+                self.calls += 1
+                if self.calls <= self.fails:
+                    raise self.exc
+                return '{"bucket": 1}'
+
+        # two transient failures, third attempt succeeds
+        ok = Flaky(2, RuntimeError("503 Slow Down"))
+        assert _read_manifest(ok) == {"bucket": 1} and ok.calls == 3
+        # persistent transient failure surfaces the error
+        with pytest.raises(RuntimeError, match="503"):
+            _read_manifest(Flaky(99, RuntimeError("503 Slow Down")))
+        # deterministic corruption -> torn (no retry storm)
+        assert _read_manifest(
+            Flaky(99, RuntimeError("org.apache.hadoop.fs.ChecksumException:"
+                                   " Checksum error"))) is None
+        assert _read_manifest(
+            Flaky(99, RuntimeError("java.io.EOFException"))) is None
+
     def test_fspath_footer_rows_matches_count(self, spark, tmp_path):
         """Footer-metadata row counts through the positional-read file-like
         must equal a real count, over multiple files."""
