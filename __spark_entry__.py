@@ -661,6 +661,20 @@ def q_cosine_pairs(spark, sf_dir):
     return embedding_cosine_pairs(emb, threshold=0.3).select("id_a", "id_b")
 
 
+def q_cosine_pairs_bucketed(spark, sf_dir):
+    """The LSH-BUCKETED scale path in its exhaustive configuration:
+    bits=0 puts every vector in one bucket, so the sketch -> bucket-join
+    -> pair-filter plumbing must equal the exact all-pairs result and the
+    same brute-force oracle hash-verifies it (a dropped vector or a wrong
+    bucket key breaks the hash). Selective-bits recall behavior stays
+    covered by pytest."""
+    from geocode_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _double_vecs(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+    return embedding_cosine_pairs(emb, threshold=0.3, method="bucketed",
+                                  dim=64, bits=0).select("id_a", "id_b")
+
+
 def q_pricing_summary(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     dec = lambda c: F.col(c).cast("decimal(18,4)")
@@ -827,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "pages_iceberg_scan": q_pages_iceberg_scan,
         "cosine_pairs": q_cosine_pairs,
+        "cosine_pairs_bucketed": q_cosine_pairs_bucketed,
         "pricing_summary": q_pricing_summary,
         "orders_by_nation": q_orders_by_nation,
         "top_orders_window": q_top_orders_window,
@@ -1554,6 +1569,8 @@ FROM e a, e b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.v, b.v) >= 0.3
 """
+    # bits=0 -> single bucket -> the bucketed path must equal exact
+    sql["cosine_pairs_bucketed"] = sql["cosine_pairs"]
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
