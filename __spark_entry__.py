@@ -752,6 +752,36 @@ def q_stream_mention_counts(spark, sf_dir):
     return spark.table(name)
 
 
+def q_sessionize(spark, sf_dir):
+    """The engine's one custom STATEFUL streaming operator
+    (applyInPandasWithState sessionization), hash-verified: the bounded
+    events table replays as a single-file availableNow stream, so every
+    user's events arrive in one state update and the emitted rows are
+    exactly the CLOSED sessions — all but each user's last session. The
+    DuckDB oracle rebuilds sessions with lag + a cumulative session-id
+    window and drops each user's final session. Session membership is
+    order-insensitive at equal timestamps (gap 0 never splits), so the
+    comparison is deterministic."""
+    import tempfile
+    import uuid
+
+    from geocode_spark.streaming.sessionize import sessionize
+
+    src = tempfile.mkdtemp(prefix="gs_sessionize_src_")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(df.schema).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = sessionize(stream, gap_seconds=600)
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 6).alias("total_value"))
+
+
 def q_events_rollup(spark, sf_dir):
     """Rollup aggregation (subtotals + grand total) — beyond the reference's
     flat groupbys; NULL grouping indicator hash-compared with the oracle."""
@@ -847,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_window": q_top_orders_window,
         "events_hourly": q_events_hourly,
         "stream_mention_counts": q_stream_mention_counts,
+        "sessionize": q_sessionize,
         "events_rollup": q_events_rollup,
         "customers_no_orders": q_customers_no_orders,
         "urgent_customers_semi": q_urgent_customers_semi,
@@ -1628,6 +1659,34 @@ WITH m AS (
 SELECT date_trunc('hour', warc_ts) AS window_start, postcode,
        count(*) AS n_mentions
 FROM m GROUP BY 1, 2
+"""
+
+    # sessionize: lag -> new-session flag -> cumulative session id ->
+    # per-session aggregates; DROP each user's LAST session (it is still
+    # open in the operator's state on a bounded availableNow run).
+    sql["sessionize"] = """
+WITH l AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev IS NULL
+                   OR epoch_us(ts) - epoch_us(prev) > 600000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM l),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+agg AS (
+  SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,
+         count(*) AS n_events, round(sum(value), 6) AS total_value
+  FROM s GROUP BY user_id, sid),
+last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sid < l.last_sid
 """
 
     sql["events_rollup"] = """
