@@ -110,7 +110,7 @@ def geocode_pages(spark, args):
     #   3. plain-parquet inputs fall back to --snapshot as an opaque
     #      lineage label (no pinning possible).
     meta_sid = pages_snapshot_id(spark, args.infile)
-    user_sid = None if args.snapshot == _SNAPSHOT_DEFAULT else args.snapshot
+    user_sid = args.snapshot  # None unless the user passed the flag
     if meta_sid and user_sid:
         try:
             pin = int(user_sid)
@@ -123,7 +123,13 @@ def geocode_pages(spark, args):
     elif meta_sid:
         snapshot, pin = meta_sid, int(meta_sid)
     else:
-        snapshot, pin = args.snapshot, None
+        # plain parquet: --snapshot is just an opaque lineage label; the
+        # "snapshot-0" default is synthesized HERE, so a user who
+        # explicitly types any value (even "snapshot-0") on an Iceberg
+        # input is handled by the branches above, never conflated with
+        # "flag not given"
+        snapshot, pin = (user_sid if user_sid is not None
+                         else "snapshot-0"), None
     pages = read_pages(spark, args.infile, snapshot_id=pin)
     cpo = prepare_cpo(spark.read.parquet(f"{args.fixtures}/cpo_raw.parquet"))
     llsoa = load_prepared("llsoa", args.prepared)
@@ -241,9 +247,11 @@ JOBS = {
 # lifecycle jobs take no input/output files
 _NO_IO_JOBS = {"setup", "clear-cache", "debug"}
 
-# sentinel --snapshot default: lets geocode_pages tell "user explicitly
-# pinned a snapshot" apart from "flag left at its default"
-_SNAPSHOT_DEFAULT = "snapshot-0"
+# --snapshot defaults to None ("flag not given") so an explicitly typed
+# value — any value, including the literal "snapshot-0" that geocode_pages
+# synthesizes as the plain-parquet lineage label — is always recognized as
+# a user pin on an Iceberg input
+_SNAPSHOT_DEFAULT = None
 
 
 def main(argv=None):

@@ -20,6 +20,7 @@ Determinism note: hash family is xxhash-free — pure numpy multiply-shift
 
 from __future__ import annotations
 
+import weakref
 from typing import Iterator
 
 import numpy as np
@@ -180,7 +181,14 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
 
     Signatures are persisted: they feed the band explode twice (self-join)
     and the verification joins twice — recomputing the shingle UDF 4x would
-    quadruple the only Python-side cost in the plan."""
+    quadruple the only Python-side cost in the plan.
+
+    Cache lifecycle: the signature blocks stay cached exactly as long as the
+    caller holds the returned DataFrame — a weakref finalizer unpersists
+    them (blocking) when the handle is garbage-collected, so repeated calls
+    in a long-lived session cannot accumulate stale signature blocks. If the
+    caller re-materializes after dropping every reference, Spark simply
+    recomputes (slower, still correct)."""
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, id_col,
                               num_hashes, shingle_k).select(id_col, "signature")
     sigs = sigs.persist()
@@ -197,7 +205,19 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+    weakref.finalize(est, _unpersist_quietly, sigs)
     return est
+
+
+def _unpersist_quietly(cached: DataFrame) -> None:
+    """Finalizer target for caller-owned cache lifecycles. Blocking so a
+    test (or a tight loop re-calling the operator) observes the blocks gone
+    the moment the handle is collected; swallows errors because the session
+    may already be stopped when GC runs."""
+    try:
+        cached.unpersist(blocking=True)
+    except Exception:
+        pass
 
 
 # simhash token-hash definition (fully specified so an independent SQL

@@ -132,15 +132,32 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
     )
 
 
+def _train_vectors(corpus: DataFrame, vec_col: str, id_col: str,
+                   n: int) -> np.ndarray:
+    """Deterministic, partition-unbiased training sample: order the corpus
+    by a hash of its id and take the first ``n``. ``limit(n)`` alone takes
+    rows from whichever partitions answer first — at 100 TB that is the
+    first few files of the scan, so centroids would reflect one corner of
+    the corpus. orderBy+limit compiles to TakeOrderedAndProject (per-
+    partition top-n, driver merge) so the collect stays bounded at n rows
+    while the sample is drawn uniformly across every partition."""
+    rows = (
+        corpus.select(F.col(vec_col).alias("__v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("__h"))
+        .orderBy("__h")
+        .limit(n)
+        .collect()
+    )
+    return np.stack([r["__v"] for r in rows])
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, dim: int, k: int = 10,
              n_centroids: int = 16, nprobe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", query_id_col: str = "query_id",
              seed: int = 42, train_sample: int = 4096) -> DataFrame:
     """IVF: centroids from a deterministic corpus sample (one k-means step),
     corpus rows assigned to nearest centroid, queries probe nprobe lists."""
-    sample = np.stack([
-        r[0] for r in corpus.select(vec_col).limit(train_sample).collect()
-    ])
+    sample = _train_vectors(corpus, vec_col, id_col, train_sample)
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)
     cent = sample[idx]

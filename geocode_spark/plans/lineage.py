@@ -64,11 +64,19 @@ class BucketResult:
 
 def _read_manifest(mp: FsPath) -> dict | None:
     """Read + parse one manifest. Returns None for TORN content
-    (unparseable JSON, or a deterministic corruption error — checksum
+    (unparseable JSON, or a PERSISTENT corruption error — checksum
     mismatch / unexpected EOF from a partial write). A transient I/O
     failure is retried and then RAISED: on a flaky store, converting a
     blip into "torn" would retract committed manifests wholesale and
-    silently discard a multi-hour run's completed work."""
+    silently discard a multi-hour run's completed work.
+
+    Checksum/EOF errors are NOT trusted on first sight: s3a/hdfs surface
+    transient connection resets as wrapped EOFExceptions, so "EOF" alone
+    cannot distinguish a half-written object from a dropped stream. Those
+    errors are retried like any transient; only when the error persists
+    across every attempt AND the object's size is stable across two stats
+    (i.e. the bytes on the store really are short — nobody is still
+    writing, nothing recovered) is the manifest declared torn."""
     last: Exception | None = None
     for attempt in range(3):
         try:
@@ -76,12 +84,23 @@ def _read_manifest(mp: FsPath) -> dict | None:
         except ValueError:
             return None  # read succeeded, content is torn
         except Exception as e:
-            msg = str(e)
-            if "Checksum" in msg or "EOFException" in msg:
-                return None  # deterministic partial-write corruption
             last = e
             time.sleep(0.2 * (attempt + 1))
+    if "Checksum" in str(last) or "EOFException" in str(last):
+        try:
+            size_a = mp.size()
+            time.sleep(0.2)
+            if mp.size() == size_a:
+                return None  # stable short/corrupt object: torn write
+        except Exception:
+            pass  # can't even stat it: treat as the I/O failure below
     raise last
+
+
+def _write_manifest(mp: FsPath, m: dict) -> None:
+    """Single write-point for manifest json (same create/close visibility
+    primitive as the commit path)."""
+    mp.write_text(json.dumps(m))
 
 
 def _bucket_col(key_col: str, n_buckets: int):
@@ -123,6 +142,18 @@ def run_with_lineage(
             mp.delete_recursive()
             continue
         manifests[bucket_id] = (mp, m)
+    # Legacy manifests (written before n_buckets entered the identity)
+    # carry no n_buckets field: treat missing as MATCHING, so upgrading the
+    # library does not retract an entire committed run — and BACKFILL the
+    # field so any LATER bucket-count change invalidates correctly. (The
+    # one undetectable case is inherent: a legacy run resumed with a
+    # different count never recorded what it was bucketed by; callers kept
+    # that contract themselves pre-upgrade, and keep it for exactly one
+    # more resume.)
+    for b, (mp, m) in manifests.items():
+        if "n_buckets" not in m:
+            m["n_buckets"] = n_buckets
+            _write_manifest(mp, m)
     if any(m.get("n_buckets") != n_buckets for _, m in manifests.values()):
         # bucket-count change: the hash partitioning itself moved — every
         # prior bucket is invalid. Retract ALL manifests before touching
@@ -219,8 +250,7 @@ def run_with_lineage(
                 "committed": True,
                 "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            lineage_dir.child(f"bucket={b}.json").write_text(
-                json.dumps(manifest))
+            _write_manifest(lineage_dir.child(f"bucket={b}.json"), manifest)
             results.append(BucketResult(b, rows, dt, skipped=False))
     return sorted(results, key=lambda r: r.bucket)
 

@@ -148,6 +148,33 @@ def read_geojson_from_7z(archive: str | Path, member: str,
     return geojson_to_records(fc, id_property, extra_properties)
 
 
+def _is_missing_runtime(e: Exception) -> bool:
+    """True iff the exception means "no Iceberg data source on the
+    classpath" — the ONLY condition read_pages may fall through on.
+
+    Matched on the structured errorClass when the exception carries one
+    (pyspark >= 3.4 sets it; DATA_SOURCE_NOT_FOUND is the class for a
+    missing format), falling back to message shapes: the >= 3.4 message
+    embeds the class name, while older Sparks raise
+    ClassNotFoundException("Failed to find data source: iceberg"). Pinned
+    env is pyspark 4.1.2, but the check must not silently change meaning
+    if the engine runs against an older cluster."""
+    import re
+
+    cls = getattr(e, "getErrorClass", None)
+    if callable(cls):
+        try:
+            got = cls()
+        except Exception:
+            got = None
+        if got:
+            return got == "DATA_SOURCE_NOT_FOUND"
+    msg = str(e)
+    return ("DATA_SOURCE_NOT_FOUND" in msg
+            or re.search(r"Failed to find (the )?data source: iceberg",
+                         msg) is not None)
+
+
 def read_pages(spark: SparkSession, source: str,
                snapshot_id: int | None = None) -> DataFrame:
     """S11: the 10^12-row fact scan. Resolution order:
@@ -184,7 +211,7 @@ def read_pages(spark: SparkSession, source: str,
         try:
             return _runtime_read()
         except Exception as e:
-            if "DATA_SOURCE_NOT_FOUND" not in str(e):
+            if not _is_missing_runtime(e):
                 raise
         return iceberg.read_iceberg(spark, source, snapshot_id)
     # not a metadata-layout path: a catalog table name (needs the runtime)
@@ -192,7 +219,7 @@ def read_pages(spark: SparkSession, source: str,
     try:
         return _runtime_read()
     except Exception as e:
-        if "DATA_SOURCE_NOT_FOUND" not in str(e):
+        if not _is_missing_runtime(e):
             # a runtime IS installed. If the source exists as a filesystem
             # path it is plausibly plain parquet — fall through. A
             # non-path source is a catalog table name: the runtime's
@@ -222,12 +249,30 @@ def pages_snapshot_id(spark: SparkSession, source: str) -> str | None:
     """Current snapshot id from table METADATA when the source is an
     Iceberg table (None for plain parquet) — the lineage layer stamps this
     into its manifests so resume-correctness is automatic, not dependent
-    on a hand-passed string."""
+    on a hand-passed string.
+
+    Path-layout tables are resolved via the built-in metadata layer. A
+    CATALOG-name source (needs a runtime) is probed through the runtime's
+    ``<table>.snapshots`` metadata table, so geocode_pages can pin its
+    read for those too; with no runtime installed the probe fails closed
+    (None) and read_pages surfaces the real error at scan time."""
     from . import iceberg
 
     if iceberg.is_iceberg_table(spark, source):
         sid = iceberg.current_snapshot_id(spark, source)
         return None if sid is None else str(sid)
+    if "/" not in source and not source.startswith("file:"):
+        # plausibly a catalog table name: ask the runtime's snapshots
+        # metadata table (quoting each identifier part). Any failure —
+        # no runtime, not a table, no snapshots — means "cannot pin".
+        try:
+            quoted = ".".join(f"`{p}`" for p in source.split("."))
+            row = spark.sql(
+                f"SELECT snapshot_id FROM {quoted}.`snapshots` "
+                "ORDER BY committed_at DESC LIMIT 1").collect()
+            return str(row[0][0]) if row else None
+        except Exception:
+            return None
     return None
 
 

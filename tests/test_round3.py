@@ -95,13 +95,16 @@ class TestFsAgnosticLineage:
 
     def test_read_manifest_retry_discipline(self):
         """Transient I/O failures retry then RAISE (never retract
-        committed state); deterministic corruption (parse error /
-        checksum / EOF) reads as torn -> None."""
+        committed state); corruption (parse error / persistent checksum /
+        EOF over a size-stable object) reads as torn -> None. EOF alone is
+        NOT trusted: s3a wraps connection resets in EOFException, so it
+        must survive retries AND a stability probe before being torn."""
         from geocode_spark.plans.lineage import _read_manifest
 
         class Flaky:
-            def __init__(self, fails, exc):
+            def __init__(self, fails, exc, sizes=(10, 10)):
                 self.fails, self.exc, self.calls = fails, exc, 0
+                self._sizes = list(sizes)
 
             def read_text(self):
                 self.calls += 1
@@ -109,18 +112,38 @@ class TestFsAgnosticLineage:
                     raise self.exc
                 return '{"bucket": 1}'
 
+            def size(self):
+                return self._sizes.pop(0) if len(self._sizes) > 1 \
+                    else self._sizes[0]
+
         # two transient failures, third attempt succeeds
         ok = Flaky(2, RuntimeError("503 Slow Down"))
         assert _read_manifest(ok) == {"bucket": 1} and ok.calls == 3
         # persistent transient failure surfaces the error
         with pytest.raises(RuntimeError, match="503"):
             _read_manifest(Flaky(99, RuntimeError("503 Slow Down")))
-        # deterministic corruption -> torn (no retry storm)
+        # an EOF blip that recovers on retry is transient, not torn
+        eof_blip = Flaky(1, RuntimeError("java.io.EOFException"))
+        assert _read_manifest(eof_blip) == {"bucket": 1}
+        # persistent corruption over a size-stable object -> torn
         assert _read_manifest(
             Flaky(99, RuntimeError("org.apache.hadoop.fs.ChecksumException:"
                                    " Checksum error"))) is None
         assert _read_manifest(
             Flaky(99, RuntimeError("java.io.EOFException"))) is None
+        # persistent EOF but the object is still growing: surface the
+        # error (someone is writing — do not retract)
+        with pytest.raises(RuntimeError, match="EOFException"):
+            _read_manifest(Flaky(99, RuntimeError("java.io.EOFException"),
+                                 sizes=(10, 20, 20)))
+        # persistent EOF and the object cannot even be stat'ed: raise
+
+        class NoStat(Flaky):
+            def size(self):
+                raise RuntimeError("stat failed")
+
+        with pytest.raises(RuntimeError, match="EOFException"):
+            _read_manifest(NoStat(99, RuntimeError("java.io.EOFException")))
 
     def test_fspath_footer_rows_matches_count(self, spark, tmp_path):
         """Footer-metadata row counts through the positional-read file-like
