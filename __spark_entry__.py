@@ -167,25 +167,23 @@ def q_reverse_geocode_knn(spark, sf_dir):
                       F.round("knn_dist", 1).alias("knn_dist"))
 
 
-def q_reverse_geocode_nuts3_2021(spark, sf_dir):
-    """NUTS year-vintage routing (eurostat.py:117-121): same points, 2021
-    regulation tables."""
+def q_reverse_geocode_nuts3_vintages(spark, sf_dir):
+    """NUTS year-vintage routing (eurostat.py:117-121), BOTH vintages in
+    one driver row (the harness records at most 50 queries, so the two
+    formerly separate queries — hash-green in rounds 1-3 — are unioned
+    with a vintage label; each vintage is still independently
+    hash-verified because the label keys every row). Same points for
+    both: the 2016 tables are SMALLER, so points near a 2021 boundary
+    come back NULL only under 2016 — year routing is observable, not a
+    no-op."""
     from geocode_spark.operators.reverse_geocode import reverse_geocode
 
     pts = _points(spark, sf_dir, f"{FIX}/nuts_regions_l3_2021.parquet", 4)
-    return reverse_geocode(pts, _prep("nuts_l3_2021")).select(
-        "row_id", "region_id")
-
-
-def q_reverse_geocode_nuts3_2016(spark, sf_dir):
-    """Same input points as the 2021 query (derived from the 2021 squares),
-    assigned against the SMALLER 2016 vintage: points near a 2021 boundary
-    come back NULL — year routing is observable, not a no-op."""
-    from geocode_spark.operators.reverse_geocode import reverse_geocode
-
-    pts = _points(spark, sf_dir, f"{FIX}/nuts_regions_l3_2021.parquet", 4)
-    return reverse_geocode(pts, _prep("nuts_l3_2016")).select(
-        "row_id", "region_id")
+    out21 = reverse_geocode(pts, _prep("nuts_l3_2021")).select(
+        F.lit(2021).alias("vintage"), "row_id", "region_id")
+    out16 = reverse_geocode(pts, _prep("nuts_l3_2016")).select(
+        F.lit(2016).alias("vintage"), "row_id", "region_id")
+    return out21.unionByName(out16)
 
 
 def q_reverse_geocode_gsp_20181031(spark, sf_dir):
@@ -223,44 +221,40 @@ def q_reverse_geocode_gsp_20181031(spark, sf_dir):
     return out.select("row_id", "gsp", "gsp_name", "gnode")
 
 
-def q_latlon2bng(spark, sf_dir):
-    """F6 CRS kernel oracled directly on bulk data: synthetic UK-range
-    lat/lon grid -> National Grid E/N, vs an independent DuckDB
-    transcription of the same published OS forward formulas (crs.py
-    implements them in numpy; both sides use fixed 8-step geodetic
-    iteration). Compared at 0.1 m."""
+def q_crs_kernels(spark, sf_dir):
+    """F6/F7 CRS kernels, BOTH directions in one driver row (50-query
+    harness cap; each direction was a separate hash-green query in rounds
+    1-3 and each remains independently verified via the direction label).
+    Forward: synthetic UK-range lat/lon grid -> National Grid E/N,
+    compared at 0.1 m. Inverse (the direction region prep depends on):
+    GB-range E/N grid -> WGS84 at 5 dp (~0.5 m). Both oracles are
+    independent DuckDB transcriptions of the published OS formulas with
+    crs.py's exact fixed iteration counts (8-step geodetic forward;
+    10-step meridional arc + inverse Helmert + 8-step geodetic
+    inverse)."""
     from geocode_spark.geocoder import GeocoderSpark
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pts = events.select(
+    g = GeocoderSpark(spark)
+    fwd_pts = events.select(
         F.col("event_id").alias("row_id"),
         (F.lit(50.0) + (F.col("event_id") % 1000) * F.lit(8.0) / F.lit(1000.0)).alias("latitude"),
         (F.lit(-6.0) + (F.col("event_id") % 997) * F.lit(7.0) / F.lit(997.0)).alias("longitude"),
     )
-    out = GeocoderSpark(spark).latlon2bng(pts)
-    return out.select("row_id",
-                      F.round("eastings", 1).alias("eastings"),
-                      F.round("northings", 1).alias("northings"))
-
-
-def q_bng2latlon(spark, sf_dir):
-    """F6 inverse CRS kernel (the direction region prep depends on):
-    synthetic GB-range E/N grid -> WGS84, vs an independent DuckDB
-    transcription of the OS inverse formulas (10-step meridional-arc
-    iteration + inverse Helmert + 8-step geodetic iteration, exactly
-    crs.py's fixed iteration counts). Compared at 5 dp (~0.5 m)."""
-    from geocode_spark.geocoder import GeocoderSpark
-
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    pts = events.select(
+    fwd = g.latlon2bng(fwd_pts).select(
+        F.lit("fwd").alias("direction"), "row_id",
+        F.round("eastings", 1).alias("coord_a"),
+        F.round("northings", 1).alias("coord_b"))
+    inv_pts = events.select(
         F.col("event_id").alias("row_id"),
         (F.lit(150000.0) + (F.col("event_id") % 1000) * F.lit(400.0)).alias("eastings"),
         (F.lit(50000.0) + (F.col("event_id") % 997) * F.lit(900.0)).alias("northings"),
     )
-    out = GeocoderSpark(spark).bng2latlon(pts, "eastings", "northings")
-    return out.select("row_id",
-                      F.round("latitude", 5).alias("latitude"),
-                      F.round("longitude", 5).alias("longitude"))
+    inv = g.bng2latlon(inv_pts, "eastings", "northings").select(
+        F.lit("inv").alias("direction"), "row_id",
+        F.round("latitude", 5).alias("coord_a"),
+        F.round("longitude", 5).alias("coord_b"))
+    return fwd.unionByName(inv)
 
 
 def q_cell_index(spark, sf_dir):
@@ -320,44 +314,45 @@ _LLSOA_KEYS = ["E01012082", "E01011214", "E01002050", "W01000323",
                "S00101253", "S01008087", "S01020873"]
 
 
-def q_centroid_llsoa(spark, sf_dir):
-    from geocode_spark.operators.centroid_lookup import centroid_lookup
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    key = F.element_at(F.array(*[F.lit(k) for k in _LLSOA_KEYS]),
-                       (F.col("doc_id") % 7 + 1).cast("int"))
-    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("code"))
-    cen = spark.read.parquet(f"{FIX}/llsoa_centroids.parquet")
-    return centroid_lookup(keys, cen, "code", "code").select(
-        "row_id", "code", "latitude", "longitude")
-
-
 _CONSTITUENCIES = ["Poplar and Limehouse", " blyth valley ", "ALDERSHOT", "Nowhere"]
 _LADS = ["Medway", " BARROW-IN-FURNESS ", "derry city and strabane", "Nowhere"]
 
 
-def q_centroid_constituency(spark, sf_dir):
+def q_centroid_lookups(spark, sf_dir):
+    """J7 broadcast-dict centroid lookups, all three entity dictionaries
+    (LLSOA code-keyed; constituency and LAD name-keyed through the F4
+    match-key normalizer) in one driver row (50-query harness cap; each
+    was a separate hash-green query in rounds 1-3 and each remains
+    independently verified via the entity label)."""
     from geocode_spark.operators.centroid_lookup import centroid_lookup
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    key = F.element_at(F.array(*[F.lit(k) for k in _CONSTITUENCIES]),
-                       (F.col("doc_id") % 4 + 1).cast("int"))
-    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("name"))
-    cen = spark.read.parquet(f"{FIX}/constituency_centroids.parquet")
-    return centroid_lookup(keys, cen, "name", "name", normalize=True).select(
-        "row_id", "name", "latitude", "longitude")
 
+    def keyed(keys_list, mod, alias):
+        key = F.element_at(F.array(*[F.lit(k) for k in keys_list]),
+                           (F.col("doc_id") % mod + 1).cast("int"))
+        return docs.select(F.col("doc_id").alias("row_id"),
+                           key.alias(alias))
 
-def q_centroid_lad(spark, sf_dir):
-    from geocode_spark.operators.centroid_lookup import centroid_lookup
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    key = F.element_at(F.array(*[F.lit(k) for k in _LADS]),
-                       (F.col("doc_id") % 4 + 1).cast("int"))
-    keys = docs.select(F.col("doc_id").alias("row_id"), key.alias("name"))
-    cen = spark.read.parquet(f"{FIX}/lad_centroids.parquet")
-    return centroid_lookup(keys, cen, "name", "name", normalize=True).select(
-        "row_id", "name", "latitude", "longitude")
+    llsoa = centroid_lookup(
+        keyed(_LLSOA_KEYS, 7, "code"),
+        spark.read.parquet(f"{FIX}/llsoa_centroids.parquet"),
+        "code", "code").select(
+        F.lit("llsoa").alias("entity"), "row_id",
+        F.col("code").alias("key"), "latitude", "longitude")
+    cons = centroid_lookup(
+        keyed(_CONSTITUENCIES, 4, "name"),
+        spark.read.parquet(f"{FIX}/constituency_centroids.parquet"),
+        "name", "name", normalize=True).select(
+        F.lit("constituency").alias("entity"), "row_id",
+        F.col("name").alias("key"), "latitude", "longitude")
+    lad = centroid_lookup(
+        keyed(_LADS, 4, "name"),
+        spark.read.parquet(f"{FIX}/lad_centroids.parquet"),
+        "name", "name", normalize=True).select(
+        F.lit("lad").alias("entity"), "row_id",
+        F.col("name").alias("key"), "latitude", "longitude")
+    return llsoa.unionByName(cons).unionByName(lad)
 
 
 def q_llsoa_from_postcode(spark, sf_dir):
@@ -458,23 +453,22 @@ def q_token_stats(spark, sf_dir):
     return with_token_counts(docs).select("doc_id", "ws_tokens", "re_tokens")
 
 
-def q_quality_score(spark, sf_dir):
-    from geocode_spark.operators.text import with_quality_score
+def q_quality_lang(spark, sf_dir):
+    """Quality scoring AND language-ID in one driver row (50-query
+    harness cap; separate hash-green queries in rounds 1-3, now composed
+    the way a curation pipeline actually runs them — both operators over
+    the same corpus pass, one row per document carrying both outputs,
+    each column still independently hash-verified)."""
+    from geocode_spark.operators.text import with_lang_id, with_quality_score
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = with_quality_score(docs)
+    out = with_lang_id(with_quality_score(docs))
     return out.select(
         "doc_id", "n_words", "stopword_hits",
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
-        F.round("quality_score", 2).alias("quality_score"))
-
-
-def q_lang_id(spark, sf_dir):
-    from geocode_spark.operators.text import with_lang_id
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_lang_id(docs).select("doc_id", "lang_pred")
+        F.round("quality_score", 2).alias("quality_score"),
+        "lang_pred")
 
 
 def q_repetition_scores(spark, sf_dir):
@@ -794,23 +788,21 @@ def q_events_rollup(spark, sf_dir):
     )
 
 
-def q_customers_no_orders(spark, sf_dir):
-    """Left-anti join coverage: customers with no URGENT order (plain
-    no-orders is empty at this SF — a 0-row match would check nothing)."""
+def q_anti_semi_joins(spark, sf_dir):
+    """Left-anti AND left-semi join coverage in one driver row (50-query
+    harness cap; separate hash-green queries in rounds 1-3): customers
+    with no urgent order vs customers with >=1, labeled — the two sets
+    partition the customer table, and each side remains independently
+    hash-verified via the label. (Plain no-orders is empty at this SF —
+    a 0-row anti match would check nothing.)"""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
         .filter(F.col("o_orderpriority") == "1-URGENT")
-    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
-            .select("c_custkey", "c_name"))
-
-
-def q_urgent_customers_semi(spark, sf_dir):
-    """Left-semi join coverage: customers with >=1 urgent order."""
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
-        .filter(F.col("o_orderpriority") == "1-URGENT")
-    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
-            .select("c_custkey"))
+    anti = (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .select(F.lit("anti").alias("join_kind"), "c_custkey", "c_name"))
+    semi = (c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+            .select(F.lit("semi").alias("join_kind"), "c_custkey", "c_name"))
+    return anti.unionByName(semi)
 
 
 def q_events_hourly(spark, sf_dir):
@@ -823,6 +815,72 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_media_meta(spark, sf_dir):
+    """Multimodal decode through the REAL from-scratch stdlib codecs
+    (functions/media.py: BMP + non-interlaced PNG + RIFF/WAVE PCM): the
+    fixture corpus holds actual format bytes, the golden table holds the
+    GENERATION-TIME truth (dimensions/duration chosen before encoding) —
+    so a hash match proves bytes -> decode recovers real metadata, not a
+    byte-count fake."""
+    from geocode_spark.operators.multimodal import with_media_meta
+
+    media = spark.read.parquet(f"{FIX}/media.parquet")
+    return with_media_meta(media, binary_col="payload").select(
+        "media_id",
+        F.col("media.media_type").alias("media_type"),
+        F.col("media.n_bytes").alias("n_bytes"),
+        F.col("media.width").alias("width"),
+        F.col("media.height").alias("height"),
+        F.col("media.duration_ms").alias("duration_ms"))
+
+
+def q_media_features(spark, sf_dir):
+    """Content-level media features over DECODED pixels/samples (luma
+    histogram for images, PCM amplitude histogram for audio, byte
+    histogram fallback), hash-verified against generation-time goldens
+    computed from the SOURCE arrays — a byte-level histogram could never
+    match across BMP vs PNG containers, so the match proves real decode.
+    Flattened to 16 scalar columns (exact float equality; integer-derived
+    ratios are bit-stable across numpy and the golden parquet)."""
+    from geocode_spark.operators.multimodal import extract_features
+
+    media = spark.read.parquet(f"{FIX}/media.parquet")
+    out = extract_features(media, binary_col="payload", dim=16)
+    return out.select(
+        "media_id",
+        *[F.col("features")[i].alias(f"f{i:02d}") for i in range(16)])
+
+
+def q_media_resize(spark, sf_dir):
+    """Real image resize: decode BMP/PNG -> nearest-neighbor resample ->
+    re-encode 24-bit BMP; output bytes hashed (sha256) against goldens
+    produced from the source pixel arrays at generation time."""
+    from geocode_spark.operators.multimodal import resize_media
+
+    media = spark.read.parquet(f"{FIX}/media.parquet") \
+        .filter(F.col("kind").isin("bmp", "png_gray", "png_rgb",
+                                   "png_ga", "png_rgba"))
+    out = resize_media(media, binary_col="payload", width=8, height=6,
+                       strict=True)
+    return out.select("media_id",
+                      F.sha2(F.col("resized"), 256).alias("resized_sha"),
+                      "resized_width", "resized_height")
+
+
+def q_media_frames(spark, sf_dir):
+    """Real audio frame sampling: WAV payloads sliced into block-aligned
+    PCM segments; per-frame byte counts + sha256 vs goldens cut from the
+    source sample arrays."""
+    from geocode_spark.operators.multimodal import frame_sample
+
+    media = spark.read.parquet(f"{FIX}/media.parquet") \
+        .filter(F.col("kind").isin("wav_mono", "wav_stereo"))
+    out = frame_sample(media, binary_col="payload", n_frames=4)
+    return out.select("media_id", "frame_idx",
+                      F.length("frame_bytes").alias("frame_n_bytes"),
+                      F.sha2("frame_bytes", 256).alias("frame_sha"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: reverse-geocode synthetic points from sf0.001 events into
     the fixture LLSOA regions via the cell-index + ray-cast engine."""
@@ -830,6 +888,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # REGISTRY SIZE NOTE: the driver harness records at most 50 queries
+    # (round 3 registered 51 and CORRECTNESS_r03 recorded exactly the
+    # first 50 — set_ops, position 51, was silently dropped despite being
+    # green). To keep EVERY operator on the correctness surface, closely
+    # related queries that were separately hash-green in rounds 1-3 are
+    # merged into labeled unions (nuts3 vintages; the three centroid
+    # lookups; anti+semi joins; forward+inverse CRS; quality+lang) — the
+    # label column keys every row, so each merged half is still
+    # independently value-hashed. 49 entries registered.
     return {
         "reverse_geocode_llsoa": q_reverse_geocode_llsoa,
         "reverse_geocode_llsoa_join": q_reverse_geocode_llsoa_join,
@@ -838,18 +905,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reverse_geocode_llsoa_dz": q_reverse_geocode_llsoa_dz,
         "reverse_geocode_dno": q_reverse_geocode_dno,
         "reverse_geocode_knn": q_reverse_geocode_knn,
-        "reverse_geocode_nuts3_2021": q_reverse_geocode_nuts3_2021,
-        "reverse_geocode_nuts3_2016": q_reverse_geocode_nuts3_2016,
+        "reverse_geocode_nuts3_vintages": q_reverse_geocode_nuts3_vintages,
         "reverse_geocode_gsp_20181031": q_reverse_geocode_gsp_20181031,
-        "latlon2bng": q_latlon2bng,
-        "bng2latlon": q_bng2latlon,
+        "crs_kernels": q_crs_kernels,
         "cell_index": q_cell_index,
         "extract_postcodes": q_extract_postcodes,
         "forward_geocode": q_forward_geocode,
         "partial_postcode": q_partial_postcode,
-        "centroid_llsoa": q_centroid_llsoa,
-        "centroid_constituency": q_centroid_constituency,
-        "centroid_lad": q_centroid_lad,
+        "centroid_lookups": q_centroid_lookups,
         "llsoa_from_postcode": q_llsoa_from_postcode,
         "gsp_expand": q_gsp_expand,
         "exact_dedup": q_exact_dedup,
@@ -859,8 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "token_stats": q_token_stats,
-        "quality_score": q_quality_score,
-        "lang_id": q_lang_id,
+        "quality_lang": q_quality_lang,
         "doc_fingerprint": q_doc_fingerprint,
         "repetition_scores": q_repetition_scores,
         "contamination": q_contamination,
@@ -872,6 +934,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_iceberg_scan": q_pages_iceberg_scan,
         "cosine_pairs": q_cosine_pairs,
         "cosine_pairs_bucketed": q_cosine_pairs_bucketed,
+        "media_meta": q_media_meta,
+        "media_features": q_media_features,
+        "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
         "pricing_summary": q_pricing_summary,
         "orders_by_nation": q_orders_by_nation,
         "top_orders_window": q_top_orders_window,
@@ -879,8 +945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mention_counts": q_stream_mention_counts,
         "sessionize": q_sessionize,
         "events_rollup": q_events_rollup,
-        "customers_no_orders": q_customers_no_orders,
-        "urgent_customers_semi": q_urgent_customers_semi,
+        "anti_semi_joins": q_anti_semi_joins,
         "set_ops": q_set_ops,
     }
 
@@ -961,17 +1026,24 @@ SELECT c.row_id, b.region_id, round(b.dist, 1) AS knn_dist
 FROM coords c LEFT JOIN best b USING (row_id)
 """
 
-    sql["reverse_geocode_nuts3_2021"] = region_oracle(
+    # year-vintage routing, both vintages labeled in one result (see the
+    # registry-size note in queries()): points from the 2021 squares,
+    # containment vs each vintage's squares — rows near a 2021 boundary
+    # are NULL only in 2016
+    _nuts21 = region_oracle(
         f"{FIX}/nuts_regions_l3_2021.parquet", 4, "c.row_id, r.region_id")
-    # 2016 vintage: points from the 2021 squares, containment vs the smaller
-    # 2016 squares — rows near a 2021 boundary are NULL only in 2016
-    sql["reverse_geocode_nuts3_2016"] = f"""
+    _nuts16 = f"""
 WITH {_points_sql(f"{FIX}/nuts_regions_l3_2021.parquet", 4)}
 SELECT c.row_id, r.region_id
 FROM coords c
 LEFT JOIN read_parquet('{FIX}/nuts_regions_l3_2016.parquet') r
   ON c.longitude > r.xmin AND c.longitude < r.xmax
  AND c.latitude > r.ymin AND c.latitude < r.ymax
+"""
+    sql["reverse_geocode_nuts3_vintages"] = f"""
+SELECT 2021 AS vintage, row_id, region_id FROM ({_nuts21})
+UNION ALL
+SELECT 2016 AS vintage, row_id, region_id FROM ({_nuts16})
 """
 
     # 20181031 GSP vintage: the oracle works ENTIRELY in EPSG:27700 space
@@ -1014,7 +1086,7 @@ LEFT JOIN read_parquet('{FIX}/gsp_lookup_20181031.parquet') l
     _rz = "radians(-0.8421e0/3600e0)"
     _sp1 = "(1e0 + 20.4894e-6)"
     _na = "((6377563.396e0 - 6356256.909e0)/(6377563.396e0 + 6356256.909e0))"
-    sql["latlon2bng"] = f"""
+    _crs_fwd = f"""
 WITH RECURSIVE
 pts AS (
   SELECT event_id AS row_id,
@@ -1099,7 +1171,7 @@ FROM terms
             f"))")
 
     _af0 = "(6377563.396e0 * 0.9996012717e0)"
-    sql["bng2latlon"] = f"""
+    _crs_inv = f"""
 WITH RECURSIVE
 pts AS (
   SELECT event_id AS row_id,
@@ -1176,6 +1248,16 @@ SELECT t.row_id,
        round(degrees(atan2(h.y2, h.x2)), 5) AS longitude
 FROM itg t JOIN pp h USING (row_id) WHERE t.i = 8
 """
+    # both CRS directions labeled in one result (registry-size note in
+    # queries()); each transcription above is unchanged from its round-3
+    # hash-green form
+    sql["crs_kernels"] = f"""
+SELECT 'fwd' AS direction, row_id, eastings AS coord_a, northings AS coord_b
+FROM ({_crs_fwd})
+UNION ALL
+SELECT 'inv' AS direction, row_id, latitude AS coord_a, longitude AS coord_b
+FROM ({_crs_inv})
+"""
 
     sql["cell_index"] = f"""
 WITH {_points_sql(f"{FIX}/llsoa_regions.parquet", 6)}
@@ -1232,7 +1314,7 @@ FROM j GROUP BY row_id, postcode
 
     llsoa_case = " ".join(
         f"WHEN {i} THEN '{k}'" for i, k in enumerate(_LLSOA_KEYS))
-    sql["centroid_llsoa"] = f"""
+    _cen_llsoa = f"""
 WITH keys AS (
   SELECT doc_id AS row_id, CASE doc_id % 7 {llsoa_case} END AS code
   FROM documents)
@@ -1253,10 +1335,22 @@ FROM keys k LEFT JOIN read_parquet('{parquet}') c
    = lower(replace(replace(trim(k.name), ' ', ''), ',', ''))
 """
 
-    sql["centroid_constituency"] = name_lookup_sql(
+    # all three centroid dictionaries labeled in one result (registry-size
+    # note in queries()); each lookup subquery unchanged from its round-3
+    # hash-green form
+    _cen_cons = name_lookup_sql(
         _CONSTITUENCIES, f"{FIX}/constituency_centroids.parquet")
-    sql["centroid_lad"] = name_lookup_sql(
-        _LADS, f"{FIX}/lad_centroids.parquet")
+    _cen_lad = name_lookup_sql(_LADS, f"{FIX}/lad_centroids.parquet")
+    sql["centroid_lookups"] = f"""
+SELECT 'llsoa' AS entity, row_id, code AS "key", latitude, longitude
+FROM ({_cen_llsoa})
+UNION ALL
+SELECT 'constituency' AS entity, row_id, name AS "key", latitude, longitude
+FROM ({_cen_cons})
+UNION ALL
+SELECT 'lad' AS entity, row_id, name AS "key", latitude, longitude
+FROM ({_cen_lad})
+"""
 
     sql["llsoa_from_postcode"] = f"""
 WITH {mentions}
@@ -1399,7 +1493,7 @@ FROM documents
 """
 
     stop_en = "['the','and','of','to','in','is','that','it','for','with']"
-    sql["quality_score"] = rf"""
+    _quality_sql = rf"""
 WITH base AS (
   SELECT doc_id, length(text) AS n_chars_m,
          list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'), x -> x != '') AS toks,
@@ -1431,7 +1525,7 @@ FROM feat
     }
     score_cols = ",\n       ".join(
         f"len(list_intersect(w, {v})) AS s_{k}" for k, v in markers.items())
-    sql["lang_id"] = rf"""
+    _lang_sql = rf"""
 WITH t AS (
   SELECT doc_id,
          list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\r\f]+'),
@@ -1445,6 +1539,12 @@ SELECT doc_id,
             WHEN s_de = greatest(s_en, s_fr, s_de, s_es) THEN 'de'
             ELSE 'es' END AS lang_pred
 FROM s
+"""
+    # quality + lang-id composed in one result (registry-size note in
+    # queries()); both transcriptions above unchanged from round 3
+    sql["quality_lang"] = f"""
+SELECT q.*, l.lang_pred
+FROM ({_quality_sql}) q JOIN ({_lang_sql}) l USING (doc_id)
 """
 
     sql["doc_fingerprint"] = r"""
@@ -1695,17 +1795,38 @@ SELECT event_type, count(*) AS n,
 FROM events GROUP BY ROLLUP(event_type)
 """
 
-    sql["customers_no_orders"] = """
-SELECT c_custkey, c_name FROM customer c
+    # anti + semi labeled in one result (registry-size note in queries())
+    sql["anti_semi_joins"] = """
+SELECT 'anti' AS join_kind, c_custkey, c_name FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT')
-"""
-
-    sql["urgent_customers_semi"] = """
-SELECT c_custkey FROM customer c
+UNION ALL
+SELECT 'semi' AS join_kind, c_custkey, c_name FROM customer c
 WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
               AND o.o_orderpriority = '1-URGENT')
 """
+
+    # media queries: the oracle side is the GENERATION-TIME golden tables
+    # (fixtures.build_media computes truth from the source arrays/params
+    # BEFORE encoding; the engine side must recover it from bytes via the
+    # from-scratch codecs) — casts align DuckDB's int64 parquet reads with
+    # Spark's int32 result columns
+    sql["media_meta"] = (
+        "SELECT media_id, media_type, n_bytes, width, height, duration_ms "
+        f"FROM read_parquet('{FIX}/media_meta_golden.parquet')")
+    sql["media_features"] = (
+        "SELECT media_id, "
+        + ", ".join(f"features[{i + 1}] AS f{i:02d}" for i in range(16))
+        + f" FROM read_parquet('{FIX}/media_features_golden.parquet')")
+    sql["media_resize"] = (
+        "SELECT media_id, resized_sha, "
+        "CAST(resized_width AS INTEGER) AS resized_width, "
+        "CAST(resized_height AS INTEGER) AS resized_height "
+        f"FROM read_parquet('{FIX}/media_resize_golden.parquet')")
+    sql["media_frames"] = (
+        "SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
+        "CAST(frame_n_bytes AS INTEGER) AS frame_n_bytes, frame_sha "
+        f"FROM read_parquet('{FIX}/media_frames_golden.parquet')")
 
     # minhash_pairs / simhash_pairs / ann_topk_lsh are approximate/seeded ->
     # rows-only checks (no SQL-expressible independent oracle)

@@ -1,0 +1,403 @@
+"""From-scratch, stdlib-only media codecs: BMP, PNG, WAV.
+
+These are the REAL default decoders behind ``operators/multimodal.py`` —
+the same spirit as the 7z and Avro codecs in ``sources/``: no imaging or
+audio library exists in the runtime, so the PUBLIC format specifications
+are implemented directly:
+
+* BMP  — Windows BITMAPINFOHEADER, uncompressed BI_RGB, 24/32-bit
+         (bottom-up and top-down), 4-byte row padding.
+* PNG  — ISO/IEC 15948: signature + chunked layout with CRC-32
+         verification, IHDR, concatenated IDAT zlib streams, all five
+         scanline filters (None/Sub/Up/Average/Paeth), non-interlaced,
+         8-bit depth, color types 0/2/4/6 (greyscale, RGB, grey+alpha,
+         RGBA). Palette (type 3) and 16-bit depth are rejected
+         explicitly.
+* WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
+         parsing, sample-accurate duration, block-aligned frame
+         slicing, 16-bit sample decode.
+
+Encoders (BMP 24-bit, PNG filter-0, WAV PCM16) exist so the resize
+operator can emit real image bytes and so fixtures can synthesize media
+deterministically; decode correctness is proven against HAND-CONSTRUCTED
+spec bytes in tests (built with struct/zlib, not these encoders).
+
+Scale note: decode is necessarily per-payload Python — it runs inside
+Arrow-batched ``mapInPandas`` stages so the payload crosses the
+JVM/Python boundary exactly once, and the only per-byte Python loops are
+the rare PNG filter types 3/4 (the common filters 0/1/2 and every other
+codec path are vectorized numpy).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class MediaFormatError(ValueError):
+    """Payload does not conform to the format its magic bytes claim."""
+
+
+# --------------------------------------------------------------------------
+# BMP
+# --------------------------------------------------------------------------
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 RGB array."""
+    data = bytes(data)
+    if len(data) < 54 or data[:2] != b"BM":
+        raise MediaFormatError("not a BMP")
+    (data_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise MediaFormatError("BITMAPCOREHEADER not supported")
+    width, height = struct.unpack_from("<ii", data, 18)
+    _, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise MediaFormatError(f"only BI_RGB supported, got {compression}")
+    if bpp not in (24, 32):
+        raise MediaFormatError(f"only 24/32-bit supported, got {bpp}")
+    top_down, h = height < 0, abs(height)
+    if width <= 0 or h == 0:
+        raise MediaFormatError(f"bad dimensions {width}x{height}")
+    row = ((bpp * width + 31) // 32) * 4
+    if len(data) < data_off + row * h or data_off < 0:
+        raise MediaFormatError("truncated pixel array")
+    px = np.frombuffer(data, np.uint8, count=row * h,
+                       offset=data_off).reshape(h, row)
+    ch = bpp // 8
+    px = px[:, :width * ch].reshape(h, width, ch)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR(A): reorder to RGB, dropping alpha
+    return np.ascontiguousarray(px[..., 2::-1][..., :3])
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(h, w[, ch]) uint8 -> 24-bit bottom-up BI_RGB BMP bytes.
+    Greyscale is replicated to 3 channels; alpha is dropped."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.shape[2] in (1, 2):  # grey / grey+alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    arr = arr[:, :, :3]
+    h, w, _ = arr.shape
+    row = ((24 * w + 31) // 32) * 4
+    body = np.zeros((h, row), np.uint8)
+    body[:, :w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    hdr = (b"BM" + struct.pack("<IHHI", 54 + body.size, 0, 0, 54)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, body.size,
+                         2835, 2835, 0, 0))
+    return hdr + body.tobytes()
+
+
+# --------------------------------------------------------------------------
+# PNG
+# --------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        typ = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if len(body) != ln:
+            raise MediaFormatError("truncated chunk")
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + ln)
+        if zlib.crc32(typ + body) & 0xFFFFFFFF != crc:
+            raise MediaFormatError(f"CRC mismatch in {typ!r}")
+        yield typ, body
+        if typ == b"IEND":
+            return
+        pos += 12 + ln
+    raise MediaFormatError("missing IEND")
+
+
+def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from a PNG's IHDR —
+    header-only, no decompression (the cheap metadata path)."""
+    data = bytes(data)
+    if not data.startswith(PNG_SIG):
+        raise MediaFormatError("not a PNG")
+    typ, body = next(_png_chunks(data))
+    if typ != b"IHDR" or len(body) != 13:
+        raise MediaFormatError("first chunk is not a valid IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", body)
+    if comp != 0 or filt != 0:
+        raise MediaFormatError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise MediaFormatError("interlaced PNG not supported")
+    if w == 0 or h == 0:
+        raise MediaFormatError("zero dimension")
+    return w, h, depth, ctype
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (color types 0/2/4/6) -> (h, w, ch)
+    uint8 array."""
+    data = bytes(data)
+    w, h, depth, ctype = png_ihdr(data)
+    if depth != 8:
+        raise MediaFormatError(f"only 8-bit depth supported, got {depth}")
+    if ctype not in _PNG_CHANNELS:
+        raise MediaFormatError(f"color type {ctype} (palette?) unsupported")
+    ch = _PNG_CHANNELS[ctype]
+    idat = b"".join(body for typ, body in _png_chunks(data)
+                    if typ == b"IDAT")
+    if not idat:
+        raise MediaFormatError("no IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise MediaFormatError("decompressed length mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int64)
+        if f == 0:  # None
+            cur = line
+        elif f == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
+            cur = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) \
+                & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f in (3, 4):  # Average / Paeth need the sequential scan
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else \
+                        (b if pb <= pc else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise MediaFormatError(f"unknown filter type {f}")
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w[, ch]) uint8 -> non-interlaced 8-bit PNG, filter 0 rows,
+    one IDAT. ch 1/2/3/4 -> color type 0/4/2/6."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = np.zeros((h, w * ch + 1), np.uint8)
+    raw[:, 1:] = arr.reshape(h, w * ch)
+    idat = zlib.compress(raw.tobytes(), 9)
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------------------
+# WAV
+# --------------------------------------------------------------------------
+
+def parse_wav(data: bytes) -> dict:
+    """RIFF/WAVE PCM header walk -> {channels, sample_rate, bits,
+    block_align, data_offset, data_bytes, duration_ms}. Metadata-only:
+    no sample decode."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaFormatError("not a RIFF/WAVE file")
+    fmt = None
+    data_off = data_len = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and ln >= 16:
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", data,
+                                                           body)
+            (bits,) = struct.unpack_from("<H", data, body + 14)
+            if audio_fmt != 1:
+                raise MediaFormatError(
+                    f"only PCM (format 1) supported, got {audio_fmt}")
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            data_off = body
+            data_len = min(ln, len(data) - body)
+        pos = body + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data_off is None:
+        raise MediaFormatError("missing fmt/data chunk")
+    channels, rate, bits = fmt
+    if channels < 1 or rate <= 0 or bits % 8 or bits == 0:
+        raise MediaFormatError(f"bad fmt: {channels}ch {rate}Hz {bits}bit")
+    block = channels * (bits // 8)
+    return {
+        "channels": channels, "sample_rate": rate, "bits": bits,
+        "block_align": block, "data_offset": data_off,
+        "data_bytes": data_len,
+        "duration_ms": data_len * 1000 // (rate * block),
+    }
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV -> ((n_samples, channels) int16 array, sample_rate)."""
+    info = parse_wav(data)
+    if info["bits"] != 16:
+        raise MediaFormatError("sample decode supports 16-bit PCM only")
+    n = info["data_bytes"] // 2
+    pcm = np.frombuffer(bytes(data), "<i2", count=n,
+                        offset=info["data_offset"])
+    return pcm.reshape(-1, info["channels"]), info["sample_rate"]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n[, channels]) int16 -> PCM16 RIFF/WAVE bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    body = samples.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(body)) + body)
+
+
+def wav_frames(data: bytes, n: int) -> list[bytes]:
+    """Split the PCM payload into <=n contiguous BLOCK-ALIGNED segments
+    (equal sample counts up to rounding) — the audio analogue of video
+    frame sampling; raw PCM out, headers stripped."""
+    info = parse_wav(data)
+    block, off = info["block_align"], info["data_offset"]
+    total = info["data_bytes"] // block
+    data = bytes(data)
+    bounds = [i * total // n for i in range(n + 1)]
+    return [data[off + a * block:off + b * block]
+            for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+# --------------------------------------------------------------------------
+# Sniffing + the operator-facing decode hooks
+# --------------------------------------------------------------------------
+
+def sniff(data: bytes) -> str | None:
+    """'bmp' | 'png' | 'wav' | None by magic bytes."""
+    if data is None:
+        return None
+    head = bytes(data[:12])
+    if head.startswith(PNG_SIG):
+        return "png"
+    if head.startswith(b"BM") and len(data) >= 54:
+        return "bmp"
+    if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode whichever image format the magic bytes claim."""
+    kind = sniff(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "bmp":
+        return decode_bmp(data)
+    raise MediaFormatError("not a decodable image payload")
+
+
+def decode_media_meta(payload: bytes, strict: bool = False) -> dict:
+    """The default ``decode_fn`` for ``with_media_meta``: REAL metadata
+    from real decoders. Images report (width, height); audio reports
+    duration_ms; anything unrecognized — or recognized-but-corrupt when
+    ``strict`` is False — classifies as plain 'binary' with only
+    n_bytes. ``strict=True`` raises MediaFormatError on corrupt payloads
+    instead of downgrading them (quarantine-vs-continue is the caller's
+    pipeline policy, not the decoder's)."""
+    if payload is None:
+        return {"media_type": None, "n_bytes": 0, "width": None,
+                "height": None, "duration_ms": None}
+    n = len(payload)
+    base = {"media_type": "binary", "n_bytes": n, "width": None,
+            "height": None, "duration_ms": None}
+    kind = sniff(payload)
+    try:
+        if kind == "png":
+            w, h, _, _ = png_ihdr(payload)
+            return {**base, "media_type": "image", "width": w, "height": h}
+        if kind == "bmp":
+            arr = decode_bmp(payload)
+            return {**base, "media_type": "image",
+                    "width": arr.shape[1], "height": arr.shape[0]}
+        if kind == "wav":
+            return {**base, "media_type": "audio",
+                    "duration_ms": parse_wav(payload)["duration_ms"]}
+    except MediaFormatError:
+        if strict:
+            raise
+    return base
+
+
+def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
+    """The default ``feature_fn`` for ``extract_features``: a REAL
+    content-level histogram per modality, normalized to sum 1.
+
+    * image  — integer-luma histogram over DECODED pixels
+               (luma = (299R + 587G + 114B) // 1000; exact integer, so
+               goldens computed from source arrays match bit-for-bit)
+    * audio  — int16 amplitude histogram over decoded PCM samples
+    * other  — raw byte-value histogram (content sketch of last resort)
+    """
+    if payload is None or len(payload) == 0:
+        return np.zeros(dim)
+    kind = sniff(payload)
+    try:
+        if kind in ("png", "bmp"):
+            arr = decode_image(payload).astype(np.int64)
+            if arr.shape[2] >= 3:
+                luma = (299 * arr[..., 0] + 587 * arr[..., 1]
+                        + 114 * arr[..., 2]) // 1000
+            else:
+                luma = arr[..., 0]
+            hist, _ = np.histogram(luma, bins=dim, range=(0, 256))
+        elif kind == "wav":
+            pcm, _ = decode_wav(payload)
+            hist, _ = np.histogram(pcm, bins=dim, range=(-32768, 32768))
+        else:
+            raise MediaFormatError("fall through to byte histogram")
+    except MediaFormatError:
+        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+    s = hist.sum()
+    return hist / s if s else hist.astype(float)
+
+
+def resize_image_payload(payload: bytes, width: int, height: int) -> bytes:
+    """The default ``resize_fn`` for ``resize_media``: decode (BMP or
+    PNG), nearest-neighbor resample, re-encode as 24-bit BMP (the
+    deterministic, compression-free output container)."""
+    arr = decode_image(payload)
+    src_h, src_w = arr.shape[:2]
+    yi = (np.arange(height, dtype=np.int64) * src_h) // height
+    xi = (np.arange(width, dtype=np.int64) * src_w) // width
+    return encode_bmp(arr[yi][:, xi])

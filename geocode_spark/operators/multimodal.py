@@ -1,14 +1,26 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata.
 
-The Spark-side machinery (schema, partition sizing, Arrow batch shape,
-mapInPandas signatures) is real and tested; the actual media decode is
-STUBBED (image/audio libs are not in this container) behind
-``decode_fn`` hooks — a deterministic fake by default, or
-NotImplementedError when ``strict=True``.
+The decode layer is REAL: from-scratch stdlib codecs (functions/media.py
+— BMP, non-interlaced PNG via zlib, RIFF/WAVE PCM) back every default
+hook, so ``with_media_meta`` reports actual pixel dimensions and
+sample-accurate audio durations, ``extract_features`` histograms decoded
+pixels/samples, ``resize_media`` emits real resampled image bytes and
+``frame_sample`` slices block-aligned PCM segments. Payload formats
+outside the codecs' coverage (JPEG, MP3, real video containers — no
+codec libs exist in this environment) classify as plain ``binary`` and
+take deterministic byte-level fallbacks; every hook stays pluggable
+(``decode_fn=`` / ``feature_fn=`` / ``resize_fn=`` / ``frame_fn=``) for
+deployments that ship PIL/ffmpeg.
 
-At 100 TB: binary payloads dominate partition size, so the operators set
-``spark.sql.files.maxPartitionBytes``-friendly batch shapes (few rows per
-Arrow batch) and never copy payload bytes through Python more than once.
+``strict=True`` makes corrupt payloads (right magic, bad structure)
+raise ``MediaFormatError`` instead of downgrading to ``binary`` —
+quarantine-vs-continue is the caller's pipeline policy.
+
+At 100 TB: binary payloads dominate partition size, so the operators are
+built on Arrow-batched ``mapInPandas`` — the payload crosses the
+JVM/Python boundary exactly once, rows stay columnar, and output
+assembly is vectorized (no per-row pandas objects).
 """
 
 from __future__ import annotations
@@ -22,6 +34,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
+from ..functions.media import (MediaFormatError, decode_media_meta,
+                               media_features, resize_image_payload, sniff,
+                               wav_frames)
+
 MEDIA_META_SCHEMA = StructType([
     StructField("media_type", StringType()),
     StructField("n_bytes", LongType()),
@@ -32,8 +48,10 @@ MEDIA_META_SCHEMA = StructType([
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic fake decode: derives metadata from the payload bytes.
-    Replace with a real decoder (PIL/ffmpeg) where available."""
+    """Deterministic TEST DOUBLE (the pre-round-4 stub, kept so plumbing
+    tests can run without constructing valid media bytes): derives
+    metadata purely from payload byte counts. Production default is the
+    real ``functions.media.decode_media_meta``."""
     if payload is None:
         return {"media_type": None, "n_bytes": 0, "width": None,
                 "height": None, "duration_ms": None}
@@ -53,13 +71,19 @@ def _fake_decode(payload: bytes) -> dict:
 def with_media_meta(df: DataFrame, binary_col: str = "html",
                     decode_fn: Callable[[bytes], dict] | None = None,
                     strict: bool = False) -> DataFrame:
-    """Add a typed ``media`` struct decoded from an opaque binary column."""
-    if strict and decode_fn is None:
-        raise NotImplementedError(
-            "real media decode requires an image/audio library not present "
-            "in this environment; pass decode_fn=")
-    fn = decode_fn or _fake_decode
-    out_schema = StructType(df.schema.fields + [StructField("media", MEDIA_META_SCHEMA)])
+    """Add a typed ``media`` struct decoded from an opaque binary column.
+
+    Default decoder is the real stdlib codec layer: BMP/PNG payloads get
+    pixel (width, height), WAV payloads get sample-accurate duration_ms,
+    anything else is ``binary`` with n_bytes only. ``strict=True``
+    raises ``MediaFormatError`` on corrupt media instead of downgrading.
+    """
+    if decode_fn is None:
+        fn = lambda payload: decode_media_meta(payload, strict=strict)  # noqa: E731
+    else:
+        fn = decode_fn
+    out_schema = StructType(df.schema.fields
+                            + [StructField("media", MEDIA_META_SCHEMA)])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -76,19 +100,11 @@ def extract_features(df: DataFrame, binary_col: str = "html", dim: int = 16,
                      ) -> DataFrame:
     """Add a ``features: array<double>`` column from the binary payload.
 
-    Default feature_fn is a deterministic byte-histogram sketch (stands in
-    for a real CNN/audio embedding; the Spark plumbing — Arrow batches, fixed
-    output dim, null handling — is exactly what a real extractor needs).
-    """
-    def default_fn(payload: bytes) -> np.ndarray:
-        if not payload:
-            return np.zeros(dim)
-        arr = np.frombuffer(bytes(payload), dtype=np.uint8)
-        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
-        s = hist.sum()
-        return hist / s if s else hist.astype(float)
-
-    fn = feature_fn or default_fn
+    Default feature_fn is modality-aware and content-level: decoded-pixel
+    luma histogram for images, decoded-PCM amplitude histogram for audio,
+    byte histogram for unrecognized payloads (functions.media
+    .media_features). All normalized to sum 1, all deterministic."""
+    fn = feature_fn or (lambda payload: media_features(payload, dim))
     out_schema = StructType(df.schema.fields
                             + [StructField("features", ArrayType(DoubleType()))])
 
@@ -106,29 +122,28 @@ def resize_media(df: DataFrame, binary_col: str = "html",
                  resize_fn: Callable[[bytes, int, int], bytes] | None = None,
                  strict: bool = False,
                  out_col: str = "resized") -> DataFrame:
-    """Resize an image/binary payload to (width, height): adds ``out_col``
-    (binary) plus ``resized_width``/``resized_height``. The Spark plumbing
-    (Arrow batch shape, schema, columnar assembly) is real; the pixel
-    transform is STUBBED — the deterministic fake strides the payload down
-    to exactly width*height bytes (pad-repeats when shorter) so downstream
-    size accounting behaves like a real thumbnailer. A real implementation
-    passes ``resize_fn`` (e.g. PIL Image.resize); ``strict=True`` raises
-    instead of faking."""
-    if strict and resize_fn is None:
-        raise NotImplementedError(
-            "real image resize requires an imaging library not present in "
-            "this environment; pass resize_fn=")
+    """Resize an image payload to (width, height): adds ``out_col``
+    (binary) plus ``resized_width``/``resized_height``.
 
-    def default_fn(payload: bytes, w: int, h: int) -> bytes:
-        if not payload:
-            return b"\x00" * (w * h)
-        b = np.frombuffer(bytes(payload), dtype=np.uint8)
-        # stride-sample to exactly w*h bytes (repeat-pad short payloads)
-        idx = (np.arange(w * h, dtype=np.int64) * max(len(b) // (w * h), 1)) \
-            % len(b)
-        return b[idx].tobytes()
+    Default is the real path: decode BMP/PNG, nearest-neighbor resample,
+    re-encode as 24-bit BMP (deterministic, compression-free). Payloads
+    that aren't decodable images yield NULL bytes (``strict=True``
+    raises MediaFormatError instead) — downstream filters on
+    ``out_col IS NOT NULL`` keep size accounting honest. A custom
+    ``resize_fn`` (e.g. PIL) receives (payload, width, height) and may
+    raise MediaFormatError to get the same null-vs-raise policy."""
+    fn = resize_fn or resize_image_payload
 
-    fn = resize_fn or default_fn
+    def guarded(payload: bytes) -> bytes | None:
+        if payload is None:
+            return None
+        try:
+            return fn(payload, width, height)
+        except MediaFormatError:
+            if strict:
+                raise
+            return None
+
     out_schema = StructType(df.schema.fields + [
         StructField(out_col, BinaryType()),
         StructField("resized_width", IntegerType()),
@@ -140,8 +155,7 @@ def resize_media(df: DataFrame, binary_col: str = "html",
             if len(pdf) == 0:
                 continue
             out = pdf.copy()
-            out[out_col] = [fn(p, width, height)
-                            for p in pdf[binary_col].tolist()]
+            out[out_col] = [guarded(p) for p in pdf[binary_col].tolist()]
             out["resized_width"] = np.int32(width)
             out["resized_height"] = np.int32(height)
             yield out
@@ -149,20 +163,30 @@ def resize_media(df: DataFrame, binary_col: str = "html",
     return df.mapInPandas(run, schema=out_schema)
 
 
+def _default_frames(payload: bytes, n: int) -> list:
+    """Real frame sampling for WAV audio (<=n contiguous block-aligned
+    PCM segments); deterministic byte-range slicing for payloads with no
+    decodable timeline (a video container would slot in here via
+    ``frame_fn`` once a codec is available)."""
+    if not payload:
+        return []
+    if sniff(payload) == "wav":
+        try:
+            return wav_frames(payload, n)
+        except MediaFormatError:
+            pass
+    b = bytes(payload)
+    step = max(len(b) // n, 1)
+    return [b[i * step:(i + 1) * step] for i in range(min(n, len(b)))]
+
+
 def frame_sample(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
                  frame_fn: Callable[[bytes, int], list] | None = None
                  ) -> DataFrame:
-    """Explode a video/binary payload into n sampled 'frames'
-    (frame_idx, frame_bytes). Stub frame_fn slices the payload
-    deterministically; a real one would ffmpeg-seek."""
-    def default_fn(payload: bytes, n: int) -> list:
-        if not payload:
-            return []
-        b = bytes(payload)
-        step = max(len(b) // n, 1)
-        return [b[i * step:(i + 1) * step] for i in range(min(n, len(b)))]
-
-    fn = frame_fn or default_fn
+    """Explode a media payload into <=n sampled frames
+    (frame_idx, frame_bytes). WAV audio is sliced into real block-aligned
+    PCM segments; other payloads byte-slice deterministically."""
+    fn = frame_fn or _default_frames
     out_schema = StructType(df.schema.fields + [
         StructField("frame_idx", IntegerType()),
         StructField("frame_bytes", BinaryType()),

@@ -270,6 +270,106 @@ def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     return df
 
 
+def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
+                resize_wh: tuple[int, int] = (8, 6), n_frames: int = 4):
+    """Deterministic multimodal corpus + GENERATION-TIME goldens.
+
+    Returns (media, meta_golden, features_golden, resize_golden,
+    frames_golden) DataFrames. Payloads are real format bytes produced by
+    the functions/media encoders; every golden value is computed from the
+    SOURCE arrays / generation parameters, never by running the byte
+    DECODERS — so the driver's media queries prove that
+    bytes -> decode recovers the generation truth end-to-end. Kinds cycle
+    through BMP, the four supported PNG color types, mono/stereo WAV at
+    several sample rates, and plain binary blobs; one trailing row has a
+    NULL payload (null-handling coverage)."""
+    from ..functions.media import encode_bmp, encode_png, encode_wav, sniff
+
+    rng = np.random.default_rng(seed)
+    kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
+             "wav_mono", "wav_stereo", "bin"]
+    rw, rh = resize_wh
+
+    def luma_hist(arr):
+        a = arr.astype(np.int64)
+        if a.shape[2] >= 3:
+            luma = (299 * a[..., 0] + 587 * a[..., 1]
+                    + 114 * a[..., 2]) // 1000
+        else:
+            luma = a[..., 0]
+        hist, _ = np.histogram(luma, bins=feat_dim, range=(0, 256))
+        return hist / hist.sum()
+
+    media, meta_g, feat_g, resize_g, frames_g = [], [], [], [], []
+    for i in range(n):
+        kind = kinds[i % len(kinds)]
+        meta = {"media_id": i, "media_type": "binary",
+                "n_bytes": 0, "width": None, "height": None,
+                "duration_ms": None}
+        if kind.startswith("png") or kind == "bmp":
+            w = int(rng.integers(4, 21))
+            h = int(rng.integers(4, 21))
+            ch = {"bmp": 3, "png_gray": 1, "png_rgb": 3, "png_ga": 2,
+                  "png_rgba": 4}[kind]
+            src = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            payload = (encode_bmp(src) if kind == "bmp"
+                       else encode_png(src))
+            meta.update(media_type="image", width=w, height=h)
+            feat_g.append({"media_id": i,
+                           "features": luma_hist(src).tolist()})
+            yi = (np.arange(rh, dtype=np.int64) * h) // rh
+            xi = (np.arange(rw, dtype=np.int64) * w) // rw
+            resized = encode_bmp(src[yi][:, xi])
+            resize_g.append({
+                "media_id": i,
+                "resized_sha": hashlib.sha256(resized).hexdigest(),
+                "resized_width": rw, "resized_height": rh})
+        elif kind.startswith("wav"):
+            channels = 1 if kind == "wav_mono" else 2
+            rate = int(rng.choice([8000, 16000, 44100]))
+            n_samples = int(rng.integers(500, 3000))
+            src = rng.integers(-32768, 32768,
+                               (n_samples, channels)).astype(np.int16)
+            payload = encode_wav(src, rate)
+            meta.update(media_type="audio",
+                        duration_ms=(n_samples * 1000) // rate)
+            hist, _ = np.histogram(src, bins=feat_dim,
+                                   range=(-32768, 32768))
+            feat_g.append({"media_id": i,
+                           "features": (hist / hist.sum()).tolist()})
+            bounds = [j * n_samples // n_frames for j in range(n_frames + 1)]
+            for fi, (a, b) in enumerate(
+                    p for p in zip(bounds, bounds[1:]) if p[1] > p[0]):
+                fb = src[a:b].tobytes()
+                frames_g.append({
+                    "media_id": i, "frame_idx": fi,
+                    "frame_n_bytes": len(fb),
+                    "frame_sha": hashlib.sha256(fb).hexdigest()})
+        else:
+            payload = rng.bytes(int(rng.integers(16, 400)))
+            assert sniff(payload) is None, "blob accidentally sniffs as media"
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=feat_dim, range=(0, 256))
+            s = hist.sum()
+            feat_g.append({"media_id": i,
+                           "features": (hist / s).tolist()})
+        meta["n_bytes"] = len(payload)
+        media.append({"media_id": i, "kind": kind, "payload": payload})
+        meta_g.append(meta)
+    # NULL payload row: decode must yield (NULL type, 0 bytes, NULL dims)
+    media.append({"media_id": n, "kind": "null", "payload": None})
+    meta_g.append({"media_id": n, "media_type": None, "n_bytes": 0,
+                   "width": None, "height": None, "duration_ms": None})
+    feat_g.append({"media_id": n, "features": [0.0] * feat_dim})
+
+    meta_df = pd.DataFrame(meta_g)
+    meta_df["width"] = meta_df["width"].astype("Int32")
+    meta_df["height"] = meta_df["height"].astype("Int32")
+    meta_df["duration_ms"] = meta_df["duration_ms"].astype("Int64")
+    return (pd.DataFrame(media), meta_df, pd.DataFrame(feat_g),
+            pd.DataFrame(resize_g), pd.DataFrame(frames_g))
+
+
 def complex_region_records(n_regions: int = 64, n_vertices: int = 400,
                            seed: int = 7) -> list[dict]:
     """Realistic-complexity synthetic regions for benchmarking: jittered
@@ -303,6 +403,13 @@ def build_all(base_dir: str | Path = FIXTURE_DIR,
     build_cpo().to_parquet(base / "cpo_raw.parquet", index=False)
     build_cpo_geo().to_parquet(base / "cpo_geo.parquet", index=False)
     build_pages().to_parquet(base / "pages.parquet", index=False)
+
+    media, meta_g, feat_g, resize_g, frames_g = build_media()
+    media.to_parquet(base / "media.parquet", index=False)
+    meta_g.to_parquet(base / "media_meta_golden.parquet", index=False)
+    feat_g.to_parquet(base / "media_features_golden.parquet", index=False)
+    resize_g.to_parquet(base / "media_resize_golden.parquet", index=False)
+    frames_g.to_parquet(base / "media_frames_golden.parquet", index=False)
 
     pd.DataFrame(LLSOA_CENTROIDS, columns=["code", "latitude", "longitude"]) \
         .to_parquet(base / "llsoa_centroids.parquet", index=False)

@@ -84,9 +84,12 @@ N_TRIALS = int(os.environ.get("SPARK_SCALING_TRIALS", "5"))
 
 # Latency metrics, not throughput workloads: lineage_resume measures the
 # no-op-resume recovery guarantee (~50 ms of manifest reads, constant in
-# data size BY DESIGN — a number that must NOT scale with cores). Excluded
-# from the scaling aggregate, reported separately at both levels.
-LATENCY_QUERIES = {"lineage_resume"}
+# data size BY DESIGN — a number that must NOT scale with cores), and
+# stream_startup is the fixed Structured Streaming query start/stop cost
+# (round-3 ask: report it separately instead of letting it dilute the
+# stream_drain throughput number). Excluded from the scaling aggregate,
+# reported separately at both levels.
+LATENCY_QUERIES = {"lineage_resume", "stream_startup"}
 
 
 def _work_total(res: dict) -> float:

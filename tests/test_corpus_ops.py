@@ -199,9 +199,40 @@ class TestMultimodal:
         assert all(r.media.n_bytes == len(r.html) for r in rows)
         assert all(r.media.media_type == "binary" for r in rows)
 
-    def test_media_meta_strict_raises(self, spark, pages):
-        with pytest.raises(NotImplementedError):
-            with_media_meta(pages, strict=True)
+    def test_media_meta_real_decoders(self, spark):
+        """End-to-end real decode through the operator: PNG pixel dims,
+        WAV sample-accurate duration, binary fallback."""
+        import numpy as np
+
+        from geocode_spark.functions.media import encode_png, encode_wav
+
+        rows = [
+            (1, bytearray(encode_png(np.zeros((6, 9, 3), np.uint8)))),
+            (2, bytearray(encode_wav(np.zeros(4000, np.int16), 8000))),
+            (3, bytearray(b"not media")),
+        ]
+        df = spark.createDataFrame(rows, "id: long, payload: binary")
+        got = {r.id: r.media for r in
+               with_media_meta(df, binary_col="payload").collect()}
+        assert (got[1].media_type, got[1].width, got[1].height) == \
+            ("image", 9, 6)
+        assert (got[2].media_type, got[2].duration_ms) == ("audio", 500)
+        assert got[3].media_type == "binary"
+
+    def test_media_meta_strict_raises_on_corrupt(self, spark):
+        """strict=True surfaces MediaFormatError for a corrupt payload
+        instead of downgrading it to 'binary'."""
+        import numpy as np
+
+        from geocode_spark.functions.media import encode_png
+
+        bad = bytes(encode_png(np.zeros((2, 2), np.uint8)))[:20] + b"junk"
+        df = spark.createDataFrame([(1, bytearray(bad))],
+                                   "id: long, payload: binary")
+        ok = with_media_meta(df, binary_col="payload").collect()
+        assert ok[0].media.media_type == "binary"  # non-strict downgrades
+        with pytest.raises(Exception, match="MediaFormatError"):
+            with_media_meta(df, binary_col="payload", strict=True).collect()
 
     def test_features_shape(self, spark, pages):
         out = extract_features(pages.limit(5), binary_col="html", dim=8)

@@ -1,0 +1,235 @@
+"""Codec-level tests for functions/media.py against HAND-CONSTRUCTED
+bytes built directly from the public format specs (struct/zlib here, not
+the module's own encoders) — the golden-bytes oracle for the real
+multimodal decode layer. Round-trip and operator-integration tests
+follow."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from geocode_spark.functions.media import (MediaFormatError, decode_bmp,
+                                           decode_media_meta, decode_png,
+                                           decode_wav, encode_bmp,
+                                           encode_png, encode_wav,
+                                           media_features, parse_wav,
+                                           png_ihdr, resize_image_payload,
+                                           sniff, wav_frames)
+
+
+def _bmp_header(w, h, bpp, body_len, off=54):
+    return (b"BM" + struct.pack("<IHHI", off + body_len, 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, body_len,
+                          0, 0, 0, 0))
+
+
+def _png_chunk(typ, body):
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+
+def _png(w, h, depth, ctype, raw_scanlines):
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    idat = zlib.compress(raw_scanlines)
+    return (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b""))
+
+
+class TestBmpSpecBytes:
+    def test_24bit_bottom_up_with_padding(self):
+        # 2x2: top row red,green; bottom row blue,white. Stored bottom-up
+        # in BGR, rows padded to 4 bytes (6 pixel bytes + 2 pad).
+        rows_stored = (bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\0\0"  # image bottom row: blue, white
+                       + bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\0\0")  # image top row: red, green
+        blob = _bmp_header(2, 2, 24, len(rows_stored)) + rows_stored
+        arr = decode_bmp(blob)
+        expect = np.array([[[255, 0, 0], [0, 255, 0]],
+                           [[0, 0, 255], [255, 255, 255]]], np.uint8)
+        assert (arr == expect).all()
+
+    def test_32bit_top_down_drops_alpha(self):
+        # 1 wide, 2 tall, NEGATIVE height = top-down; BGRA stored
+        body = bytes([10, 20, 30, 99]) + bytes([40, 50, 60, 99])
+        blob = _bmp_header(1, -2, 32, len(body)) + body
+        arr = decode_bmp(blob)
+        assert (arr == np.array([[[30, 20, 10]], [[60, 50, 40]]],
+                                np.uint8)).all()
+
+    def test_rejects_compressed_and_truncated(self):
+        body = b"\0" * 8
+        blob = bytearray(_bmp_header(2, 1, 24, len(body)) + body)
+        blob[30] = 1  # BI_RLE8
+        with pytest.raises(MediaFormatError, match="BI_RGB"):
+            decode_bmp(bytes(blob))
+        with pytest.raises(MediaFormatError, match="truncated"):
+            decode_bmp(_bmp_header(4, 4, 24, 64) + b"\0" * 10)
+
+
+class TestPngSpecBytes:
+    def test_grayscale_filters_none_sub_up(self):
+        # 2x3 grayscale, one row per filter type 0/1/2
+        raw = (b"\x00" + bytes([7, 9])            # None -> 7,9
+               + b"\x01" + bytes([5, 6])          # Sub  -> 5, 11
+               + b"\x02" + bytes([1, 2]))         # Up   -> 6, 13
+        arr = decode_png(_png(2, 3, 8, 0, raw))
+        assert arr.shape == (3, 2, 1)
+        assert (arr[:, :, 0] == np.array([[7, 9], [5, 11], [6, 13]])).all()
+
+    def test_rgb_average_and_paeth(self):
+        # 2x2 RGB: row0 Average, row1 Paeth — expectations hand-computed
+        # from the spec's reconstruction functions
+        raw = (b"\x03" + bytes([10, 20, 30, 40, 50, 60])
+               + b"\x04" + bytes([1, 2, 3, 4, 5, 6]))
+        arr = decode_png(_png(2, 2, 8, 2, raw))
+        assert (arr[0].ravel() == [10, 20, 30, 45, 60, 75]).all()
+        assert (arr[1].ravel() == [11, 22, 33, 49, 65, 81]).all()
+
+    def test_sub_filter_prefix_sum_rgb(self):
+        raw = b"\x01" + bytes([5, 6, 7, 10, 10, 10])
+        arr = decode_png(_png(2, 1, 8, 2, raw))
+        assert (arr.ravel() == [5, 6, 7, 15, 16, 17]).all()
+
+    def test_crc_mismatch_raises(self):
+        blob = bytearray(_png(1, 1, 8, 0, b"\x00\x42"))
+        blob[-5] ^= 0xFF  # corrupt IEND CRC
+        with pytest.raises(MediaFormatError, match="CRC"):
+            decode_png(bytes(blob))
+
+    def test_rejects_palette_16bit_interlaced(self):
+        with pytest.raises(MediaFormatError, match="palette|color type"):
+            decode_png(_png(1, 1, 8, 3, b"\x00\x00"))
+        with pytest.raises(MediaFormatError, match="8-bit"):
+            decode_png(_png(1, 1, 16, 0, b"\x00\x00\x00"))
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # interlaced
+        blob = sig + _png_chunk(b"IHDR", ihdr)
+        with pytest.raises(MediaFormatError, match="interlaced"):
+            png_ihdr(blob)
+
+    def test_multiple_idat_chunks_concatenate(self):
+        raw = b"\x00" + bytes([1, 2]) + b"\x00" + bytes([3, 4])
+        z = zlib.compress(raw)
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        blob = (sig + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", z[:5]) + _png_chunk(b"IDAT", z[5:])
+                + _png_chunk(b"IEND", b""))
+        assert (decode_png(blob)[:, :, 0] == [[1, 2], [3, 4]]).all()
+
+
+class TestWavSpecBytes:
+    def _wav(self, channels=1, rate=8000, bits=16, n_samples=4000,
+             extra_chunk=b""):
+        block = channels * bits // 8
+        body = bytes(n_samples * block)
+        fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                          block, bits)
+        chunks = (b"fmt " + struct.pack("<I", 16) + fmt + extra_chunk
+                  + b"data" + struct.pack("<I", len(body)) + body)
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_duration_and_fmt(self):
+        info = parse_wav(self._wav(channels=2, rate=16000, n_samples=8000))
+        assert info["duration_ms"] == 500
+        assert info["channels"] == 2 and info["sample_rate"] == 16000
+        assert info["block_align"] == 4
+
+    def test_chunk_walk_skips_odd_padded_chunks(self):
+        # a LIST chunk of ODD length before data: walker must word-align
+        extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        info = parse_wav(self._wav(extra_chunk=extra))
+        assert info["duration_ms"] == 500
+
+    def test_frames_are_block_aligned(self):
+        blob = self._wav(channels=2, rate=8000, n_samples=1001)
+        frames = wav_frames(blob, 4)
+        assert len(frames) == 4
+        assert sum(len(f) for f in frames) == 1001 * 4
+        assert all(len(f) % 4 == 0 for f in frames)
+
+    def test_rejects_non_pcm(self):
+        blob = bytearray(self._wav())
+        struct.pack_into("<H", blob, 20, 3)  # IEEE float
+        with pytest.raises(MediaFormatError, match="PCM"):
+            parse_wav(bytes(blob))
+
+
+class TestRoundTrips:
+    def test_bmp_round_trip(self):
+        rng = np.random.default_rng(7)
+        for w, h in [(1, 1), (3, 2), (5, 7), (8, 8)]:
+            arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert (decode_bmp(encode_bmp(arr)) == arr).all()
+
+    @pytest.mark.parametrize("ch", [1, 2, 3, 4])
+    def test_png_round_trip(self, ch):
+        rng = np.random.default_rng(ch)
+        arr = rng.integers(0, 256, (5, 4, ch), dtype=np.uint8)
+        out = decode_png(encode_png(arr))
+        assert (out == arr).all()
+
+    def test_wav_round_trip(self):
+        rng = np.random.default_rng(3)
+        pcm = rng.integers(-32768, 32767, (300, 2)).astype(np.int16)
+        out, rate = decode_wav(encode_wav(pcm, 22050))
+        assert rate == 22050 and (out == pcm).all()
+
+
+class TestMetaAndFeatures:
+    def test_meta_image_audio_binary(self):
+        img = encode_png(np.zeros((6, 9, 3), np.uint8))
+        m = decode_media_meta(img)
+        assert (m["media_type"], m["width"], m["height"]) == ("image", 9, 6)
+        assert m["duration_ms"] is None
+
+        wav = encode_wav(np.zeros(8000, np.int16), 8000)
+        m = decode_media_meta(wav)
+        assert (m["media_type"], m["duration_ms"]) == ("audio", 1000)
+        assert m["width"] is None
+
+        m = decode_media_meta(b"plain old bytes")
+        assert m["media_type"] == "binary" and m["n_bytes"] == 15
+
+    def test_corrupt_media_downgrades_or_raises(self):
+        img = bytearray(encode_png(np.zeros((2, 2), np.uint8)))
+        img[-5] ^= 0xFF  # break a CRC
+        assert decode_media_meta(bytes(img))["media_type"] == "image"
+        # (IHDR still intact — header path succeeds; now break the header)
+        bad = bytes(img[:20]) + b"junk"
+        assert decode_media_meta(bad)["media_type"] == "binary"
+        with pytest.raises(MediaFormatError):
+            decode_media_meta(bad, strict=True)
+
+    def test_features_use_decoded_content_not_bytes(self):
+        # same pixels, different containers -> identical image features
+        # (a byte-level histogram could never agree across BMP and PNG)
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+        f_bmp = media_features(encode_bmp(arr), dim=8)
+        f_png = media_features(encode_png(arr), dim=8)
+        assert (f_bmp == f_png).all()
+        assert abs(f_bmp.sum() - 1.0) < 1e-12
+
+    def test_audio_features_histogram_pcm(self):
+        # bins over [-32768, 32768): -32768->0, -1->1, 0->2, 32767->3
+        pcm = np.array([-32768, -1, 0, 32767] * 25, dtype=np.int16)
+        f = media_features(encode_wav(pcm, 8000), dim=4)
+        assert (f == [0.25, 0.25, 0.25, 0.25]).all()
+
+    def test_resize_nearest_neighbor(self):
+        # 4x4 image with a distinct value per pixel; 2x2 nearest-neighbor
+        # picks source rows/cols 0 and 2
+        arr = (np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+               * np.ones(3, np.uint8))
+        out = decode_bmp(resize_image_payload(encode_png(arr), 2, 2))
+        assert (out[:, :, 0] == [[0, 2], [8, 10]]).all()
+
+    def test_sniff(self):
+        assert sniff(encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
+        assert sniff(encode_png(np.zeros((2, 2), np.uint8))) == "png"
+        assert sniff(encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
+        assert sniff(b"RIFF\x00\x00\x00\x00AVI ") is None
+        assert sniff(b"") is None

@@ -205,20 +205,29 @@ class TestDedupGuards:
 
 
 class TestResizeMedia:
-    def test_stub_resize_shapes(self, spark, fixture_dir):
-        from geocode_spark.operators.multimodal import resize_media
-
-        pages = spark.read.parquet(str(fixture_dir / "pages.parquet")).limit(5)
-        out = resize_media(pages, binary_col="html", width=8, height=4)
-        rows = out.collect()
-        assert all(len(r.resized) == 32 for r in rows)
-        assert all((r.resized_width, r.resized_height) == (8, 4)
-                   for r in rows)
-        # strict path refuses to fake
+    def test_real_resize_and_null_policy(self, spark, fixture_dir):
+        """Real path: decodable images come back as resampled BMP bytes;
+        non-image payloads yield NULL (strict raises instead)."""
+        import numpy as np
         import pytest as _pytest
 
-        with _pytest.raises(NotImplementedError):
-            resize_media(pages, strict=True)
+        from geocode_spark.functions.media import decode_bmp, encode_png
+        from geocode_spark.operators.multimodal import resize_media
+
+        img = encode_png(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+        df = spark.createDataFrame(
+            [(1, bytearray(img)), (2, bytearray(b"just text"))],
+            "id: long, payload: binary")
+        rows = {r.id: r for r in
+                resize_media(df, binary_col="payload",
+                             width=8, height=4).collect()}
+        out = decode_bmp(rows[1].resized)
+        assert out.shape == (4, 8, 3)
+        assert rows[2].resized is None
+        assert all((r.resized_width, r.resized_height) == (8, 4)
+                   for r in rows.values())
+        with _pytest.raises(Exception, match="MediaFormatError"):
+            resize_media(df, binary_col="payload", strict=True).collect()
 
     def test_custom_resize_fn(self, spark, fixture_dir):
         from geocode_spark.operators.multimodal import resize_media
