@@ -182,6 +182,28 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
     })
 
 
+# (SparkContext id, PreparedRegions id) -> (prep, cover bcast, geoms bcast).
+# Re-broadcasting the SAME prepared table on every reverse_geocode call
+# re-serializes the cover map + geometries driver-side each time — a pure
+# per-run serial floor (~0.4-0.8 s for a res-17 table) that caps scaling
+# efficiency of short pipeline runs. The cache holds a strong ref to the
+# prep, which pins its id() (no stale-id aliasing); entries for a stopped
+# SparkContext are unreachable-but-tiny (a handful of prepared tables per
+# process) and are keyed away from any new context by the sc id.
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_prep(sc, prep: "PreparedRegions"):
+    key = (id(sc), id(prep))
+    hit = _BCAST_CACHE.get(key)
+    if hit is not None and hit[0] is prep:
+        return hit[1], hit[2]
+    b_cover = sc.broadcast(prep.cover)
+    b_geoms = sc.broadcast(prep.geoms)
+    _BCAST_CACHE[key] = (prep, b_cover, b_geoms)
+    return b_cover, b_geoms
+
+
 def reverse_geocode(
     points: DataFrame,
     prep: PreparedRegions,
@@ -220,8 +242,7 @@ def reverse_geocode(
     """
     spark = points.sparkSession
     sc = spark.sparkContext
-    b_cover = sc.broadcast(prep.cover)
-    b_geoms = sc.broadcast(prep.geoms)
+    b_cover, b_geoms = _broadcast_prep(sc, prep)
     res = prep.res
 
     if distance_unit is None:
@@ -310,12 +331,96 @@ def reverse_geocode(
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def reverse_geocode_multi(
+    points: DataFrame,
+    assignments: list,
+    lat_col: str = "latitude",
+    lon_col: str = "longitude",
+    output_cols: list[str] | None = None,
+    keep_cell: bool = False,
+) -> DataFrame:
+    """Assign each point a region id from EVERY prepared set in ONE Arrow
+    pass. ``assignments`` is a list of ``(prep, out_col)`` or
+    ``(prep, out_col, opts)`` with opts keys ``max_distance`` /
+    ``distance_unit`` (same semantics as :func:`reverse_geocode`).
+
+    At 100 TB this is the difference between k full-data passes (chained
+    reverse_geocode calls: k mapInPandas stages, the points crossing the
+    JVM/Python boundary and re-decoding coordinates k times) and one: a
+    single Python stage reuses the decoded coordinate arrays for every
+    lookup. Same per-lookup kernels (_candidate_probe / _resolve_pip /
+    _knn_fallback), so assignments match the chained form exactly.
+
+    ``keep_cell`` adds one ``cell_id`` column at the FIRST assignment's
+    resolution (the chained equivalent of keep_cell on the first call)."""
+    spark = points.sparkSession
+    sc = spark.sparkContext
+    specs = []
+    for a in assignments:
+        prep, out_col = a[0], a[1]
+        opts = a[2] if len(a) > 2 else {}
+        unit = opts.get("distance_unit") or (
+            "m" if prep.crs == "EPSG:27700" else "deg")
+        if unit not in ("m", "deg"):
+            raise ValueError("distance_unit must be 'm' or 'deg'")
+        b_cover, b_geoms = _broadcast_prep(sc, prep)
+        specs.append((b_cover, b_geoms, prep.res, (prep.name, prep.crs),
+                      out_col, opts.get("max_distance"), unit == "m"))
+    keep_fields = (points.schema.fields if output_cols is None else
+                   [f for f in points.schema.fields
+                    if f.name in output_cols])
+    out_fields = (keep_fields
+                  + [StructField(s[4], StringType()) for s in specs])
+    if keep_cell:
+        out_fields = out_fields + [StructField("cell_id", LongType())]
+    out_schema = StructType(out_fields)
+    in_cols = [f.name for f in keep_fields]
+    cell_res = specs[0][2] if specs else None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = pdf[in_cols].copy()
+            lat_all = pdf[lat_col].to_numpy(np.float64)
+            lon_all = pdf[lon_col].to_numpy(np.float64)
+            finite = np.isfinite(lat_all) & np.isfinite(lon_all)
+            for (b_cover, b_geoms, res, (name, crs), out_col, max_d,
+                 metric) in specs:
+                cover, geoms = b_cover.value, b_geoms.value
+                cand = _candidate_probe(pdf, cover, res, lat_col, lon_col)
+                hit = _resolve_pip(cand, geoms)
+                rid = np.full(len(pdf), None, dtype=object)
+                rid[hit["__pos"].to_numpy()] = hit["region_id"].to_numpy()
+                if max_d is not None:
+                    miss = np.flatnonzero(pd.isna(rid) & finite)
+                    if len(miss):
+                        prep_local = PreparedRegions(
+                            name=name, res=res, crs=crs,
+                            geoms=geoms, cover=cover)
+                        near = _knn_fallback(
+                            miss, lon_all[miss], lat_all[miss],
+                            prep_local, max_d, metric=metric)
+                        rid[near["__pos"].to_numpy()] = \
+                            near["region_id"].to_numpy()
+                out[out_col] = rid
+            if keep_cell:
+                cid = np.full(len(pdf), None, dtype=object)
+                if finite.any():
+                    cid[finite] = cell_of(lat_all[finite], lon_all[finite],
+                                          cell_res)
+                out["cell_id"] = pd.array(cid, dtype="Int64")
+            yield out
+
+    return points.mapInPandas(run, schema=out_schema)
+
+
 def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
     """Catalyst-visible variant: BroadcastHashJoin on cell, PIP on candidates,
     min(region_seq) aggregation per input row."""
     spark = points.sparkSession
     sc = spark.sparkContext
-    b_geoms = sc.broadcast(prep.geoms)
+    _, b_geoms = _broadcast_prep(sc, prep)
     res = prep.res
 
     @F.pandas_udf(LongType())

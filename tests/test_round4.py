@@ -175,3 +175,99 @@ class TestMissingRuntimeClassifier:
 
         assert _is_missing_runtime(WithClass("boom"))
         assert not _is_missing_runtime(OtherClass("boom"))
+
+
+class TestPipelineFixedCostCuts:
+    """Round-4 scaling work: the profiled pipeline serial floor was (a) the
+    CPO dimension re-aggregation per forward_geocode call and (b) a second
+    full Arrow pass for the second reverse_geocode. Both cuts must be
+    EXACTLY result-preserving."""
+
+    def test_forward_geocode_dims_reuse_parity(self, spark, fixture_dir):
+        from geocode_spark.operators.forward_geocode import (
+            forward_geocode, prepare_cpo, prepare_dims)
+
+        cpo = prepare_cpo(
+            spark.read.parquet(str(fixture_dir / "cpo_raw.parquet")))
+        pcs = spark.createDataFrame(
+            [("RG1 3PE",), ("rg1 3pe",), ("ZZ99 9ZZ",), ("RG1",),
+             (None,), ("SW1A 1AA",)], "postcode: string")
+        base = forward_geocode(pcs, cpo).collect()
+        dims = prepare_dims(cpo)
+        reused = forward_geocode(pcs, cpo, dims=dims).collect()
+        key = lambda r: (r.postcode or "",)
+        assert sorted(base, key=key) == sorted(reused, key=key)
+
+    def test_reverse_geocode_multi_matches_chained(self, spark, fixture_dir):
+        import pyspark.sql.functions as FF
+
+        from geocode_spark.operators.reverse_geocode import (
+            reverse_geocode, reverse_geocode_multi)
+        from geocode_spark.regions import load_prepared
+
+        llsoa = load_prepared("llsoa", fixture_dir / "prepared")
+        gsp = load_prepared("gsp", fixture_dir / "prepared")
+        sq = spark.read.parquet(str(fixture_dir / "llsoa_regions.parquet"))
+        pts = (spark.range(4000)
+               .select(FF.col("id").alias("row_id"),
+                       (FF.col("id") % 6).alias("sqi"),
+                       ((FF.col("id") % 211) / 211.0).alias("fx"),
+                       ((FF.col("id") % 199) / 199.0).alias("fy"))
+               .join(FF.broadcast(sq), FF.col("sqi") == sq["region_seq"],
+                     "left")
+               .select("row_id",
+                       (FF.col("ymin") + FF.col("fy")
+                        * (FF.col("ymax") - FF.col("ymin"))).alias("latitude"),
+                       (FF.col("xmin") + FF.col("fx")
+                        * (FF.col("xmax") - FF.col("xmin"))).alias("longitude")))
+        chained = reverse_geocode(
+            reverse_geocode(pts, llsoa, out_col="llsoa", keep_cell=True),
+            gsp, out_col="gsp")
+        multi = reverse_geocode_multi(
+            pts, [(llsoa, "llsoa"), (gsp, "gsp")], keep_cell=True)
+        a = {r.row_id: (r.llsoa, r.gsp, r.cell_id) for r in chained.collect()}
+        b = {r.row_id: (r.llsoa, r.gsp, r.cell_id) for r in multi.collect()}
+        assert a == b and len(a) == 4000
+
+    def test_multi_with_knn_fallback_matches_chained(self, spark,
+                                                     fixture_dir):
+        import pyspark.sql.functions as FF
+
+        from geocode_spark.operators.reverse_geocode import (
+            reverse_geocode, reverse_geocode_multi)
+        from geocode_spark.regions import load_prepared
+
+        llsoa = load_prepared("llsoa", fixture_dir / "prepared")
+        # points just OUTSIDE the squares: only the kNN fallback assigns
+        pts = spark.createDataFrame(
+            [(0, 53.905, -1.205), (1, 53.999, -1.40), (2, 10.0, 10.0)],
+            "row_id: long, latitude: double, longitude: double")
+        opts = {"max_distance": 20000.0, "distance_unit": "m"}
+        chained = reverse_geocode(pts, llsoa, max_distance=20000.0,
+                                  distance_unit="m")
+        multi = reverse_geocode_multi(pts, [(llsoa, "region_id", opts)])
+        a = {r.row_id: r.region_id for r in chained.collect()}
+        b = {r.row_id: r.region_id for r in multi.collect()}
+        assert a == b
+        assert a[2] is None  # far point stays unassigned
+
+    def test_geocode_documents_schema_unchanged(self, spark, fixture_dir):
+        from geocode_spark.operators.forward_geocode import prepare_cpo
+        from geocode_spark.operators.pipeline import geocode_documents
+        from geocode_spark.regions import load_prepared
+
+        cpo = prepare_cpo(
+            spark.read.parquet(str(fixture_dir / "cpo_raw.parquet")))
+        llsoa = load_prepared("llsoa", fixture_dir / "prepared")
+        gsp = load_prepared("gsp", fixture_dir / "prepared")
+        pages = spark.read.parquet(str(fixture_dir / "pages.parquet")) \
+            .limit(100)
+        out = geocode_documents(pages, cpo, llsoa, gsp)
+        # the chained-call column order is the public schema; the fused
+        # multi path must not reorder it
+        # (postcode leads after gsp: the dedup_keys join re-keys on it)
+        assert out.columns == [
+            "gsp", "postcode", "url", "warc_ts", "lang", "latitude",
+            "longitude", "match_status", "llsoa", "cell_id", "tile_id",
+            "gsp_group"]
+        assert out.count() > 0
