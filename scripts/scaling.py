@@ -145,6 +145,9 @@ def main():
         "# BENCH/BASELINE.md — measured engine numbers",
         "",
         f"Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by scripts/scaling.py.",
+        "Cross-round comparisons: see BENCH/PAIRED_r4.md (paired re-bench "
+        "protocol + why round-4 minhash numbers are cold-honest where "
+        "earlier rounds' were warm-cache-flattered).",
         f"Identical job, identical input, two parallelism levels (local[{lo}]",
         f"vs local[{hi}]) — the sandbox evidence for the north-rule",
         "two-cluster-size scaling criterion (N vs 4N cores).",
