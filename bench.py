@@ -191,7 +191,13 @@ def main():
     def run_minhash(corpus):
         # near-dup corpus (replica texts differ by one token); sharper LSH
         # (8x8) against the synthetic corpus's homogeneous vocabulary, and
-        # the stop-bucket skew guard as a boilerplate-heavy web corpus needs
+        # the stop-bucket skew guard as a boilerplate-heavy web corpus needs.
+        # Cache cleared first: each repeat measures a COLD run including
+        # signature computation (see BENCH/PAIRED_r4.md — earlier rounds'
+        # numbers were flattered by warm-cache repeats).
+        from geocode_spark.operators.dedup import clear_signature_cache
+
+        clear_signature_cache()
         return minhash_dedup_pairs(
             corpus, text_col="text",
             id_col="url", threshold=0.8, shingle_k=8,
@@ -287,8 +293,13 @@ def main():
     def run_stream_startup():
         return _drain(startup_src)
 
+    # 32x replication: at 8x the query was fixed-cost-bound (~0.3 s of
+    # per-query scheduling dwarfing ~0.2 s of aggregation work at 2 cores),
+    # so the scaling number measured Spark's constant overhead rather than
+    # the aggregation. 19M cached rows make it throughput-bound.
+    li_reps = int(os.environ.get("BENCH_PRICING_REPS", "32"))
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    li = (li0.crossJoin(spark.range(8).select(F.col("id").alias("rep")))
+    li = (li0.crossJoin(spark.range(li_reps).select(F.col("id").alias("rep")))
           .repartition(CPUS * 2).cache())
     li.count()
 

@@ -41,12 +41,39 @@ class MediaFormatError(ValueError):
     """Payload does not conform to the format its magic bytes claim."""
 
 
+def _format_errors(fn):
+    """Decorator: every malformed-payload failure mode surfaces as
+    MediaFormatError. The parsers index, unpack and inflate untrusted
+    bytes — a truncated fmt chunk raises struct.error, a corrupt IDAT
+    raises zlib.error, a short buffer IndexError — and the operator
+    layer's downgrade-vs-strict policy catches MediaFormatError ONLY, so
+    anything else escaping here would kill a whole Spark task over one
+    bad payload in the corpus."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except MediaFormatError:
+            raise
+        except (struct.error, zlib.error, IndexError, ValueError,
+                AssertionError, UnicodeDecodeError, OverflowError) as e:
+            raise MediaFormatError(
+                f"{fn.__name__}: malformed payload ({e})") from e
+    return wrapped
+
+
 # --------------------------------------------------------------------------
 # BMP
 # --------------------------------------------------------------------------
 
-def decode_bmp(data: bytes) -> np.ndarray:
-    """BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 RGB array."""
+@_format_errors
+def bmp_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """(width, height(+), bpp, data_offset, top_down) from a BMP's
+    headers — validated (format, compression, bounds vs payload length)
+    but WITHOUT touching the pixel array: the cheap metadata path,
+    mirror of png_ihdr."""
     data = bytes(data)
     if len(data) < 54 or data[:2] != b"BM":
         raise MediaFormatError("not a BMP")
@@ -67,6 +94,15 @@ def decode_bmp(data: bytes) -> np.ndarray:
     row = ((bpp * width + 31) // 32) * 4
     if len(data) < data_off + row * h or data_off < 0:
         raise MediaFormatError("truncated pixel array")
+    return width, h, bpp, data_off, int(top_down)
+
+
+@_format_errors
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BI_RGB 24/32-bit BMP -> (h, w, 3) uint8 RGB array."""
+    data = bytes(data)
+    width, h, bpp, data_off, top_down = bmp_header(data)
+    row = ((bpp * width + 31) // 32) * 4
     px = np.frombuffer(data, np.uint8, count=row * h,
                        offset=data_off).reshape(h, row)
     ch = bpp // 8
@@ -122,6 +158,7 @@ def _png_chunks(data: bytes):
     raise MediaFormatError("missing IEND")
 
 
+@_format_errors
 def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
     """(width, height, bit_depth, color_type) from a PNG's IHDR —
     header-only, no decompression (the cheap metadata path)."""
@@ -142,7 +179,14 @@ def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
     return w, h, depth, ctype
 
 
-def decode_png(data: bytes) -> np.ndarray:
+# Executor-memory guard for untrusted corpora: a payload may DECLARE any
+# dimensions in its 13-byte IHDR; decode refuses to allocate past this
+# (64M pixels ≈ 256 MB RGBA) instead of OOM-killing the Python worker.
+MAX_PIXELS = 64 * 1024 * 1024
+
+
+@_format_errors
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     """Non-interlaced 8-bit PNG (color types 0/2/4/6) -> (h, w, ch)
     uint8 array."""
     data = bytes(data)
@@ -151,12 +195,21 @@ def decode_png(data: bytes) -> np.ndarray:
         raise MediaFormatError(f"only 8-bit depth supported, got {depth}")
     if ctype not in _PNG_CHANNELS:
         raise MediaFormatError(f"color type {ctype} (palette?) unsupported")
+    if w * h > max_pixels:
+        raise MediaFormatError(f"declared {w}x{h} exceeds max_pixels")
     ch = _PNG_CHANNELS[ctype]
     idat = b"".join(body for typ, body in _png_chunks(data)
                     if typ == b"IDAT")
     if not idat:
         raise MediaFormatError("no IDAT")
-    raw = zlib.decompress(idat)
+    # bounded inflate: a decompression bomb must not materialize more
+    # than the declared scanline bytes (+1 to detect oversize) before
+    # the length check can reject it
+    expected = (w * ch + 1) * h
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expected + 1)
+    if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise MediaFormatError("IDAT inflates past declared dimensions")
     stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise MediaFormatError("decompressed length mismatch")
@@ -219,6 +272,7 @@ def encode_png(arr: np.ndarray) -> bytes:
 # WAV
 # --------------------------------------------------------------------------
 
+@_format_errors
 def parse_wav(data: bytes) -> dict:
     """RIFF/WAVE PCM header walk -> {channels, sample_rate, bits,
     block_align, data_offset, data_bytes, duration_ms}. Metadata-only:
@@ -259,6 +313,7 @@ def parse_wav(data: bytes) -> dict:
     }
 
 
+@_format_errors
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """PCM16 WAV -> ((n_samples, channels) int16 array, sample_rate)."""
     info = parse_wav(data)
@@ -285,6 +340,7 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", len(body)) + body)
 
 
+@_format_errors
 def wav_frames(data: bytes, n: int) -> list[bytes]:
     """Split the PCM payload into <=n contiguous BLOCK-ALIGNED segments
     (equal sample counts up to rounding) — the audio analogue of video
@@ -346,9 +402,8 @@ def decode_media_meta(payload: bytes, strict: bool = False) -> dict:
             w, h, _, _ = png_ihdr(payload)
             return {**base, "media_type": "image", "width": w, "height": h}
         if kind == "bmp":
-            arr = decode_bmp(payload)
-            return {**base, "media_type": "image",
-                    "width": arr.shape[1], "height": arr.shape[0]}
+            w, h, _, _, _ = bmp_header(payload)  # header-only, no pixels
+            return {**base, "media_type": "image", "width": w, "height": h}
         if kind == "wav":
             return {**base, "media_type": "audio",
                     "duration_ms": parse_wav(payload)["duration_ms"]}

@@ -20,7 +20,6 @@ Determinism note: hash family is xxhash-free — pure numpy multiply-shift
 
 from __future__ import annotations
 
-import weakref
 from typing import Iterator
 
 import numpy as np
@@ -183,15 +182,22 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     and the verification joins twice — recomputing the shingle UDF 4x would
     quadruple the only Python-side cost in the plan.
 
-    Cache lifecycle: the signature blocks stay cached exactly as long as the
-    caller holds the returned DataFrame — a weakref finalizer unpersists
-    them (blocking) when the handle is garbage-collected, so repeated calls
-    in a long-lived session cannot accumulate stale signature blocks. If the
-    caller re-materializes after dropping every reference, Spark simply
-    recomputes (slower, still correct)."""
+    Cache lifecycle: persisted signature sets live in a BOUNDED FIFO
+    (newest ``_SIG_CACHE_SIZE``); admitting a new set unpersists the
+    oldest, so a long-lived session calling this repeatedly holds at most
+    that many signature blocks — never an unbounded leak. The FIFO (not a
+    result-handle finalizer) is deliberate: callers routinely CHAIN
+    transformations off the lazy result and drop the returned object
+    before any action runs, which would otherwise unpersist the cache
+    before it was ever used. An evicted-but-still-lazy plan just
+    recomputes (slower, correct). ``clear_signature_cache()`` drops
+    everything eagerly (benchmarks use it to measure cold runs)."""
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, id_col,
                               num_hashes, shingle_k).select(id_col, "signature")
     sigs = sigs.persist()
+    _SIG_CACHE.append(sigs)
+    while len(_SIG_CACHE) > _SIG_CACHE_SIZE:
+        _unpersist_quietly(_SIG_CACHE.pop(0))
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
                                max_bucket_size, sig_len=num_hashes)
     sl = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
@@ -205,19 +211,31 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
-    weakref.finalize(est, _unpersist_quietly, sigs)
     return est
 
 
+# bounded signature-cache FIFO (see minhash_dedup_pairs docstring)
+_SIG_CACHE: list[DataFrame] = []
+_SIG_CACHE_SIZE = 2
+
+
 def _unpersist_quietly(cached: DataFrame) -> None:
-    """Finalizer target for caller-owned cache lifecycles. Blocking so a
-    test (or a tight loop re-calling the operator) observes the blocks gone
-    the moment the handle is collected; swallows errors because the session
-    may already be stopped when GC runs."""
+    """Blocking so a test (or a tight benchmark loop) observes the blocks
+    gone immediately; swallows errors because the session may already be
+    stopped."""
     try:
         cached.unpersist(blocking=True)
     except Exception:
         pass
+
+
+def clear_signature_cache() -> None:
+    """Eagerly unpersist every cached minhash signature set. Benchmarks
+    call this between repeats to measure COLD runs (Spark's cache manager
+    matches canonicalized plans, so without it a repeat of the identical
+    call would silently reuse the previous repeat's blocks)."""
+    while _SIG_CACHE:
+        _unpersist_quietly(_SIG_CACHE.pop())
 
 
 # simhash token-hash definition (fully specified so an independent SQL

@@ -30,6 +30,7 @@ Python workers doing vectorized numpy; nothing is collected to the driver.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Iterator
 
 import numpy as np
@@ -182,25 +183,37 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
     })
 
 
-# (SparkContext id, PreparedRegions id) -> (prep, cover bcast, geoms bcast).
+# (SparkContext id, PreparedRegions id) -> (sc, prep, cover b., geoms b.).
 # Re-broadcasting the SAME prepared table on every reverse_geocode call
 # re-serializes the cover map + geometries driver-side each time — a pure
-# per-run serial floor (~0.4-0.8 s for a res-17 table) that caps scaling
-# efficiency of short pipeline runs. The cache holds a strong ref to the
-# prep, which pins its id() (no stale-id aliasing); entries for a stopped
-# SparkContext are unreachable-but-tiny (a handful of prepared tables per
-# process) and are keyed away from any new context by the sc id.
-_BCAST_CACHE: dict = {}
+# per-run serial floor that caps scaling efficiency of short pipeline
+# runs. BOUNDED LRU: a deployment that loads a fresh PreparedRegions per
+# batch would otherwise accumulate executor broadcast blocks without
+# limit; eviction unpersists (executors drop their copies; a still-lazy
+# plan holding an evicted broadcast just re-fetches from the driver on
+# next use — unpersist, never destroy). The cache holds STRONG refs to
+# both sc and prep: that pins their id()s, so a recycled address can
+# never alias a cache key (id reuse requires the old object freed).
+_BCAST_CACHE: OrderedDict = OrderedDict()
+_BCAST_CACHE_SIZE = 8
 
 
 def _broadcast_prep(sc, prep: "PreparedRegions"):
     key = (id(sc), id(prep))
     hit = _BCAST_CACHE.get(key)
-    if hit is not None and hit[0] is prep:
-        return hit[1], hit[2]
+    if hit is not None and hit[0] is sc and hit[1] is prep:
+        _BCAST_CACHE.move_to_end(key)
+        return hit[2], hit[3]
     b_cover = sc.broadcast(prep.cover)
     b_geoms = sc.broadcast(prep.geoms)
-    _BCAST_CACHE[key] = (prep, b_cover, b_geoms)
+    _BCAST_CACHE[key] = (sc, prep, b_cover, b_geoms)
+    while len(_BCAST_CACHE) > _BCAST_CACHE_SIZE:
+        _, _, old_c, old_g = _BCAST_CACHE.popitem(last=False)[1]
+        for b in (old_c, old_g):
+            try:
+                b.unpersist(blocking=False)
+            except Exception:
+                pass  # stopped context: nothing to free
     return b_cover, b_geoms
 
 

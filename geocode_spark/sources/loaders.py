@@ -262,14 +262,19 @@ def pages_snapshot_id(spark: SparkSession, source: str) -> str | None:
         sid = iceberg.current_snapshot_id(spark, source)
         return None if sid is None else str(sid)
     if "/" not in source and not source.startswith("file:"):
-        # plausibly a catalog table name: ask the runtime's snapshots
-        # metadata table (quoting each identifier part). Any failure —
+        # plausibly a catalog table name: ask the runtime's metadata
+        # tables (quoting each identifier part). The `history` table's
+        # latest made_current_at row IS the current snapshot — the
+        # `snapshots` table's newest committed_at is NOT (it still lists
+        # rolled-back and staged/WAP snapshots, so pinning to it would
+        # silently read non-current data after a rollback). Any failure —
         # no runtime, not a table, no snapshots — means "cannot pin".
+        quoted = ".".join(f"`{p}`" for p in source.split("."))
         try:
-            quoted = ".".join(f"`{p}`" for p in source.split("."))
             row = spark.sql(
-                f"SELECT snapshot_id FROM {quoted}.`snapshots` "
-                "ORDER BY committed_at DESC LIMIT 1").collect()
+                f"SELECT snapshot_id FROM {quoted}.`history` "
+                "WHERE is_current_ancestor "
+                "ORDER BY made_current_at DESC LIMIT 1").collect()
             return str(row[0][0]) if row else None
         except Exception:
             return None

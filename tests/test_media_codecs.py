@@ -233,3 +233,79 @@ class TestMetaAndFeatures:
         assert sniff(encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
         assert sniff(b"RIFF\x00\x00\x00\x00AVI ") is None
         assert sniff(b"") is None
+
+
+class TestMalformedPayloadTaxonomy:
+    """Review findings (round 4): low-level struct/zlib/index errors must
+    surface as MediaFormatError so the operator layer's downgrade-vs-
+    strict policy holds — one bad payload must never kill a Spark task
+    with an uncaught exception type."""
+
+    def test_truncated_wav_fmt_chunk_downgrades(self):
+        wav = encode_wav(np.zeros(100, np.int16), 8000)
+        for cut in (10, 13, 20, 30, 43):
+            m = decode_media_meta(wav[:cut])
+            assert m["media_type"] == "binary", f"cut={cut}"
+        with pytest.raises(MediaFormatError):
+            decode_media_meta(wav[:30], strict=True)
+
+    def test_corrupt_deflate_png_features_fall_back(self):
+        blob = bytearray(encode_png(np.full((8, 8), 7, np.uint8)))
+        # find the IDAT payload and scramble it, then re-CRC the chunk so
+        # only the deflate stream (not the chunk framing) is corrupt
+        idx = bytes(blob).index(b"IDAT")
+        ln = struct.unpack_from(">I", blob, idx - 4)[0]
+        blob[idx + 4:idx + 4 + ln] = b"\x99" * ln
+        crc = zlib.crc32(bytes(blob[idx:idx + 4 + ln])) & 0xFFFFFFFF
+        struct.pack_into(">I", blob, idx + 4 + ln, crc)
+        bad = bytes(blob)
+        with pytest.raises(MediaFormatError):
+            decode_png(bad)
+        f = media_features(bad, dim=4)  # byte-histogram fallback, no crash
+        assert abs(f.sum() - 1.0) < 1e-12
+
+    def test_truncated_bmp_and_png_chunks(self):
+        bmp = encode_bmp(np.zeros((4, 4, 3), np.uint8))
+        for cut in (3, 20, 53, 60):
+            with pytest.raises(MediaFormatError):
+                decode_bmp(bmp[:cut])
+        png = encode_png(np.zeros((4, 4), np.uint8))
+        for cut in (9, 20, 40):
+            with pytest.raises(MediaFormatError):
+                decode_png(png[:cut])
+
+    def test_png_decompression_bomb_rejected(self):
+        from geocode_spark.functions.media import png_ihdr
+
+        # declares 2x2 grayscale but the IDAT inflates to ~1 MB: must be
+        # rejected WITHOUT materializing the whole stream
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        bomb = zlib.compress(b"\x00" * 1_000_000, 9)
+
+        def chunk(t, d):
+            return (struct.pack(">I", len(d)) + t + d
+                    + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF))
+
+        blob = (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+                + chunk(b"IEND", b""))
+        with pytest.raises(MediaFormatError, match="inflates|mismatch"):
+            decode_png(blob)
+        # declared-dims cap: a payload claiming absurd dimensions is
+        # refused before any allocation
+        huge = struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 0, 0, 0, 0)
+        blob2 = sig + chunk(b"IHDR", huge) + chunk(b"IDAT", b"x") \
+            + chunk(b"IEND", b"")
+        with pytest.raises(MediaFormatError, match="max_pixels"):
+            decode_png(blob2)
+
+    def test_bmp_header_only_matches_full_decode(self):
+        from geocode_spark.functions.media import bmp_header
+
+        rng = np.random.default_rng(5)
+        for w, h in [(1, 1), (5, 3), (16, 9)]:
+            blob = encode_bmp(rng.integers(0, 256, (h, w, 3), np.uint8))
+            bw, bh, bpp, off, td = bmp_header(blob)
+            arr = decode_bmp(blob)
+            assert (bw, bh) == (arr.shape[1], arr.shape[0])
+            assert bpp == 24 and td == 0

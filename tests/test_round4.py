@@ -41,25 +41,38 @@ class TestIvfTrainSample:
 
 
 class TestMinhashCacheLifecycle:
-    def test_signatures_unpersist_with_result_handle(self, spark):
-        """Signature blocks live exactly as long as the returned DataFrame:
-        present while the caller holds it, gone (blocking unpersist via the
-        weakref finalizer) once the handle is collected."""
-        from geocode_spark.operators.dedup import minhash_dedup_pairs
+    def test_signature_cache_is_bounded_and_clearable(self, spark):
+        """Signature blocks live in a bounded FIFO: repeated calls over
+        DISTINCT corpora hold at most _SIG_CACHE_SIZE cached sets (older
+        ones unpersisted on admission), and clear_signature_cache() empties
+        everything. Crucially the cache must survive the caller CHAINING
+        off the lazy result and dropping the handle — the round-4 review
+        found a result-handle finalizer unpersisted before the first
+        action ever ran."""
+        from geocode_spark.operators.dedup import (_SIG_CACHE_SIZE,
+                                                   clear_signature_cache,
+                                                   minhash_dedup_pairs)
 
-        docs = spark.createDataFrame(
-            [(i, ("the quick brown fox jumps over the lazy dog %d" % (i % 5)))
-             for i in range(40)], "doc_id: long, text: string")
+        clear_signature_cache()
         before = _persistent_ids(spark)
-        out = minhash_dedup_pairs(docs, threshold=0.5, num_hashes=16,
-                                  bands=4, rows_per_band=4, shingle_k=3)
-        assert out.count() > 0
-        during = _persistent_ids(spark) - before
-        assert len(during) == 1, "signatures should be cached while in use"
-        del out
-        gc.collect()
+        for k in range(_SIG_CACHE_SIZE + 3):
+            docs = spark.createDataFrame(
+                [(i, f"corpus {k} doc text number {i % 5} quick brown fox")
+                 for i in range(30)], "doc_id: long, text: string")
+            # chain + drop the handle BEFORE acting, like real callers do
+            chained = minhash_dedup_pairs(
+                docs, threshold=0.1, num_hashes=16, bands=4,
+                rows_per_band=4, shingle_k=3).select("id_a", "id_b")
+            chained.count()
+            del chained
+            gc.collect()
+            extra = _persistent_ids(spark) - before
+            assert len(extra) <= _SIG_CACHE_SIZE, \
+                f"cache exceeded bound after call {k}: {len(extra)} blocks"
+        assert len(_persistent_ids(spark) - before) == _SIG_CACHE_SIZE
+        clear_signature_cache()
         assert _persistent_ids(spark) - before == set(), \
-            "signature blocks must be freed when the handle is dropped"
+            "clear_signature_cache must free every block"
 
 
 class TestIcebergConcurrency:
@@ -271,3 +284,22 @@ class TestPipelineFixedCostCuts:
             "longitude", "match_status", "llsoa", "cell_id", "tile_id",
             "gsp_group"]
         assert out.count() > 0
+
+
+class TestBroadcastPrepCache:
+    def test_reuse_and_bounded_eviction(self, spark, fixture_dir):
+        from geocode_spark.operators import reverse_geocode as rg
+        from geocode_spark.regions import load_prepared
+
+        sc = spark.sparkContext
+        llsoa = load_prepared("llsoa", fixture_dir / "prepared")
+        a1 = rg._broadcast_prep(sc, llsoa)
+        a2 = rg._broadcast_prep(sc, llsoa)
+        assert a1[0] is a2[0] and a1[1] is a2[1], \
+            "same prep must reuse the same broadcasts"
+        # a fresh prep object per call (per-batch reload pattern) must not
+        # grow the cache past its bound
+        for _ in range(rg._BCAST_CACHE_SIZE + 3):
+            rg._broadcast_prep(sc, load_prepared("llsoa",
+                                                 fixture_dir / "prepared"))
+        assert len(rg._BCAST_CACHE) <= rg._BCAST_CACHE_SIZE
