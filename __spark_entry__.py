@@ -1828,6 +1828,7 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         "CAST(frame_n_bytes AS INTEGER) AS frame_n_bytes, frame_sha "
         f"FROM read_parquet('{FIX}/media_frames_golden.parquet')")
 
-    # minhash_pairs / simhash_pairs / ann_topk_lsh are approximate/seeded ->
-    # rows-only checks (no SQL-expressible independent oracle)
+    # every registered query has an oracle entry (the approximate ops are
+    # hash-verified through their exhaustive-probe configurations; media
+    # ops through generation-time goldens)
     return sql
