@@ -817,7 +817,8 @@ def q_events_hourly(spark, sf_dir):
 
 def q_media_meta(spark, sf_dir):
     """Multimodal decode through the REAL from-scratch stdlib codecs
-    (functions/media.py: BMP + non-interlaced PNG + RIFF/WAVE PCM): the
+    (functions/media.py: BMP + non-interlaced PNG + baseline JFIF JPEG +
+    RIFF/WAVE PCM): the
     fixture corpus holds actual format bytes, the golden table holds the
     GENERATION-TIME truth (dimensions/duration chosen before encoding) —
     so a hash match proves bytes -> decode recovers real metadata, not a
@@ -852,14 +853,17 @@ def q_media_features(spark, sf_dir):
 
 
 def q_media_resize(spark, sf_dir):
-    """Real image resize: decode BMP/PNG -> nearest-neighbor resample ->
-    re-encode 24-bit BMP; output bytes hashed (sha256) against goldens
-    produced from the source pixel arrays at generation time."""
+    """Real image resize: decode BMP/PNG/JPEG -> nearest-neighbor
+    resample -> re-encode 24-bit BMP; output bytes hashed (sha256)
+    against goldens produced from the source pixel arrays at generation
+    time (JPEG fixtures are flat-tile images, the class baseline JPEG
+    round-trips losslessly — fixtures.build_media)."""
     from geocode_spark.operators.multimodal import resize_media
 
     media = spark.read.parquet(f"{FIX}/media.parquet") \
         .filter(F.col("kind").isin("bmp", "png_gray", "png_rgb",
-                                   "png_ga", "png_rgba"))
+                                   "png_ga", "png_rgba",
+                                   "jpeg_gray", "jpeg_420"))
     out = resize_media(media, binary_col="payload", width=8, height=6,
                        strict=True)
     return out.select("media_id",

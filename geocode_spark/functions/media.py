@@ -1,4 +1,4 @@
-"""From-scratch, stdlib-only media codecs: BMP, PNG, WAV.
+"""From-scratch, stdlib-only media codecs: BMP, PNG, WAV, JPEG.
 
 These are the REAL default decoders behind ``operators/multimodal.py`` —
 the same spirit as the 7z and Avro codecs in ``sources/``: no imaging or
@@ -16,11 +16,19 @@ are implemented directly:
 * WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
          parsing, sample-accurate duration, block-aligned frame
          slicing, 16-bit sample decode.
+* JPEG — ITU-T T.81 baseline sequential DCT with JFIF color: marker
+         walk, 8/16-bit DQT, canonical-Huffman DHT, SOF0 (1- or
+         3-component, arbitrary 1-4 sampling factors), DRI/RSTn
+         restarts, byte-unstuffed single interleaved scan, vectorized
+         8x8 IDCT, box-replication upsampling, JFIF YCbCr->RGB.
+         Progressive/arithmetic/hierarchical/12-bit frames are rejected
+         explicitly.
 
-Encoders (BMP 24-bit, PNG filter-0, WAV PCM16) exist so the resize
-operator can emit real image bytes and so fixtures can synthesize media
-deterministically; decode correctness is proven against HAND-CONSTRUCTED
-spec bytes in tests (built with struct/zlib, not these encoders).
+Encoders (BMP 24-bit, PNG filter-0, WAV PCM16, baseline JFIF from YCbCr
+planes) exist so the resize operator can emit real image bytes and so
+fixtures can synthesize media deterministically; decode correctness is
+proven against HAND-CONSTRUCTED spec bytes in tests (built with
+struct/zlib, not these encoders).
 
 Scale note: decode is necessarily per-payload Python — it runs inside
 Arrow-batched ``mapInPandas`` stages so the payload crosses the
@@ -345,6 +353,12 @@ def wav_frames(data: bytes, n: int) -> list[bytes]:
     """Split the PCM payload into <=n contiguous BLOCK-ALIGNED segments
     (equal sample counts up to rounding) — the audio analogue of video
     frame sampling; raw PCM out, headers stripped."""
+    if n < 1:
+        # was a ZeroDivisionError below — the one error class the
+        # _format_errors taxonomy does NOT convert, so it escaped the
+        # downgrade-vs-strict policy and failed whole Spark tasks.
+        # frame_sample also validates this on the driver before any job.
+        raise ValueError(f"n must be >= 1, got {n}")
     info = parse_wav(data)
     block, off = info["block_align"], info["data_offset"]
     total = info["data_bytes"] // block
@@ -355,16 +369,587 @@ def wav_frames(data: bytes, n: int) -> list[bytes]:
 
 
 # --------------------------------------------------------------------------
+# JPEG (baseline sequential DCT, ITU-T T.81 / JFIF)
+# --------------------------------------------------------------------------
+# From-scratch baseline decoder + encoder on stdlib+numpy, same spirit as
+# the 7z/Avro/PNG codecs: marker segment walk, DQT (8/16-bit), DHT
+# (canonical Huffman), SOF0, DRI/RSTn restart segments, single interleaved
+# SOS scan, byte-unstuffing, Huffman entropy decode, dequantize, vectorized
+# 8x8 IDCT over all blocks at once, box-replication chroma upsampling,
+# JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, hierarchical and
+# 12-bit frames are explicitly rejected as MediaFormatError. The entropy
+# decode is necessarily a per-symbol Python loop (bit-serial Huffman); the
+# numeric stages (dequant, IDCT, color convert) are whole-image numpy.
+
+# zigzag scan: position k in the coded stream -> row-major coefficient index
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+_SOF_UNSUPPORTED = {
+    0xC1: "extended sequential", 0xC2: "progressive", 0xC3: "lossless",
+    0xC5: "differential sequential", 0xC6: "differential progressive",
+    0xC7: "differential lossless", 0xC9: "arithmetic sequential",
+    0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
+    0xCD: "differential arithmetic seq", 0xCE: "differential arithmetic prog",
+    0xCF: "differential arithmetic lossless",
+}
+
+
+def _dct_basis() -> np.ndarray:
+    """A[u, x] = C(u)/2 * cos((2x+1) u pi / 16): IDCT is A.T @ F @ A,
+    FDCT is A @ f @ A.T (T.81 Annex A.3.3)."""
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    a[0] *= 1.0 / np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+
+def _huff_canonical(bits: list, vals: list) -> dict:
+    """T.81 Annex C canonical code assignment ->
+    {(length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise MediaFormatError("DHT count/value mismatch")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+class _BitReader:
+    """MSB-first bit reader over one unstuffed entropy segment."""
+
+    __slots__ = ("b", "i", "acc", "n")
+
+    def __init__(self, b: bytes):
+        self.b, self.i, self.acc, self.n = b, 0, 0, 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.b):
+                raise MediaFormatError("entropy segment exhausted")
+            self.acc = self.b[self.i]
+            self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise MediaFormatError("invalid Huffman code")
+
+
+def _jpeg_segments(data: bytes):
+    """Yield (marker, payload) for each marker segment after SOI; stops at
+    SOS (yielding it) or EOI. Entropy data handling is the caller's."""
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise MediaFormatError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 1 < len(data):
+        if data[pos] != 0xFF:
+            raise MediaFormatError(f"expected marker at {pos}")
+        while pos < len(data) and data[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= len(data):
+            break
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            return
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            continue
+        (ln,) = struct.unpack_from(">H", data, pos)
+        if ln < 2 or pos + ln > len(data):
+            raise MediaFormatError("truncated marker segment")
+        yield marker, data[pos + 2:pos + ln], pos + ln
+        if marker == 0xDA:  # SOS: entropy data follows
+            return
+        pos += ln
+    raise MediaFormatError("missing SOS/EOI")
+
+
+@_format_errors
+def jpeg_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, n_components) from the first SOFn — header walk
+    only, no entropy decode (the cheap metadata path). Accepts any SOFn
+    for metadata; decode_jpeg itself supports baseline SOF0 only."""
+    data = bytes(data)
+    for marker, body, _ in _jpeg_segments(data):
+        if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if len(body) < 6:
+                raise MediaFormatError("truncated SOF")
+            _, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if w == 0 or h == 0:
+                raise MediaFormatError("zero dimension")
+            return w, h, ncomp
+    raise MediaFormatError("no SOF before SOS")
+
+
+def _entropy_segments(data: bytes, pos: int) -> list:
+    """Unstuff the entropy-coded data starting at ``pos``: returns the
+    byte segments delimited by RSTn markers (restart boundaries are
+    byte-aligned; DC predictors reset per segment)."""
+    segs, cur, i, n = [], bytearray(), pos, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:
+            break  # terminating marker (EOI or next header)
+    segs.append(bytes(cur))
+    return segs
+
+
+@_format_errors
+def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """Baseline JFIF JPEG -> (h, w, ch) uint8; ch=1 for grayscale frames,
+    ch=3 (RGB) for YCbCr frames."""
+    data = bytes(data)
+    qt, huff = {}, {}
+    frame = None
+    restart = 0
+    scan = None
+    scan_pos = None
+    for marker, body, after in _jpeg_segments(data):
+        if marker in _SOF_UNSUPPORTED:
+            raise MediaFormatError(
+                f"only baseline sequential supported "
+                f"(got SOF {_SOF_UNSUPPORTED[marker]})")
+        if marker == 0xDB:  # DQT, possibly several tables
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 15
+                p += 1
+                if pq not in (0, 1) or tq > 3:
+                    raise MediaFormatError("bad DQT header")
+                cnt = 64 * (2 if pq else 1)
+                if p + cnt > len(body):
+                    raise MediaFormatError("truncated DQT")
+                dt = ">64H" if pq else "64B"
+                qt[tq] = np.array(struct.unpack_from(dt, body, p),
+                                  dtype=np.int64)
+                p += cnt
+        elif marker == 0xC4:  # DHT, possibly several tables
+            p = 0
+            while p + 17 <= len(body):
+                tc, th = body[p] >> 4, body[p] & 15
+                if tc not in (0, 1) or th > 3:
+                    raise MediaFormatError("bad DHT header")
+                bits = list(body[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(body[p + 17:p + 17 + nv])
+                if len(vals) != nv:
+                    raise MediaFormatError("truncated DHT")
+                huff[(tc, th)] = _huff_canonical(bits, vals)
+                p += 17 + nv
+            if p != len(body):
+                raise MediaFormatError("trailing DHT bytes")
+        elif marker == 0xC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise MediaFormatError(f"{prec}-bit precision unsupported")
+            if ncomp not in (1, 3):
+                raise MediaFormatError(f"{ncomp}-component frame unsupported")
+            if w == 0 or h == 0:
+                raise MediaFormatError("zero dimension")
+            if w * h > max_pixels:
+                raise MediaFormatError(f"declared {w}x{h} exceeds max_pixels")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                hi, vi = hv >> 4, hv & 15
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise MediaFormatError("bad sampling factors")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise MediaFormatError("SOS before SOF")
+            ns = body[0]
+            if ns != len(frame["comps"]):
+                raise MediaFormatError(
+                    "only a single interleaved scan is supported")
+            sel = {}
+            for c in range(ns):
+                cs, tt = struct.unpack_from(">BB", body, 1 + 2 * c)
+                sel[cs] = (tt >> 4, tt & 15)
+            ss, se, _ = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            if ss != 0 or se != 63:
+                raise MediaFormatError("non-baseline spectral selection")
+            scan = sel
+            scan_pos = after
+    if scan is None:
+        raise MediaFormatError("no SOS scan")
+
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if len(comps) == 1:
+        # non-interleaved single-component scan: MCU is one block and the
+        # declared sampling factors do not shape the layout (T.81 A.2.2)
+        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    for c in comps:
+        if c["tq"] not in qt:
+            raise MediaFormatError(f"missing quant table {c['tq']}")
+        if c["id"] not in scan:
+            raise MediaFormatError(f"component {c['id']} missing from scan")
+        td, ta = scan[c["id"]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise MediaFormatError("missing Huffman table")
+        c["dc"], c["ac"] = huff[(0, td)], huff[(1, ta)]
+        c["blocks"] = []
+
+    segs = _entropy_segments(data, scan_pos)
+    seg_i = 0
+    br = _BitReader(segs[0])
+    preds = {c["id"]: 0 for c in comps}
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise MediaFormatError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            preds = {c["id"]: 0 for c in comps}
+        for c in comps:
+            for _ in range(c["h"] * c["v"]):
+                t = br.huff(c["dc"])
+                if t > 11:
+                    raise MediaFormatError("DC category out of range")
+                diff = _extend(br.receive(t), t)
+                preds[c["id"]] += diff
+                coef = np.zeros(64, np.int64)
+                coef[0] = preds[c["id"]]
+                k = 1
+                while k < 64:
+                    rs = br.huff(c["ac"])
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise MediaFormatError("AC run past block end")
+                    coef[k] = _extend(br.receive(s), s)
+                    k += 1
+                c["blocks"].append(coef)
+
+    out_planes = []
+    for c in comps:
+        blocks = np.stack(c["blocks"])          # (n, 64) zigzag-quantized
+        deq = blocks * qt[c["tq"]][None, :]
+        rm = np.empty_like(deq)
+        rm[:, _ZZ] = deq                        # zigzag -> row-major
+        f = np.einsum("ux,nuv,vy->nxy", _DCT_A,
+                      rm.reshape(-1, 8, 8).astype(np.float64), _DCT_A)
+        px = np.clip(np.round(f) + 128.0, 0, 255).astype(np.uint8)
+        grid = px.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
+        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
+            mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        cw = -(-w * c["h"] // hmax)
+        chh = -(-h * c["v"] // vmax)
+        plane = plane[:chh, :cw]
+        # box-replication upsample to full resolution (T.81 leaves the
+        # interpolation filter to the decoder; replication is exact for
+        # the flat-tile class and standard practice elsewhere)
+        yi = (np.arange(h, dtype=np.int64) * c["v"]) // vmax
+        xi = (np.arange(w, dtype=np.int64) * c["h"]) // hmax
+        out_planes.append(plane[yi][:, xi])
+
+    if len(out_planes) == 1:
+        return out_planes[0][:, :, None]
+    y = out_planes[0].astype(np.float64)
+    cb = out_planes[1].astype(np.float64) - 128.0
+    cr = out_planes[2].astype(np.float64) - 128.0
+    # JFIF 1.02 color conversion
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---- encoder ------------------------------------------------------------
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "n")
+
+    def __init__(self):
+        self.out, self.acc, self.n = bytearray(), 0, 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self):
+        """Pad the final byte with 1-bits (T.81 F.1.2.3)."""
+        while self.n:
+            self.write(1, 1)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+def _build_huff_table(freqs: dict) -> tuple[list, list]:
+    """(bits[16], vals) for the symbol frequencies: ordinary Huffman via
+    heapq, canonicalized (sorted by length then symbol). The code space
+    is kept incomplete (Kraft sum < 1) so no code is all 1-bits, per the
+    T.81 convention that keeps pad bits undecodable."""
+    import heapq
+
+    if not freqs:
+        raise MediaFormatError("empty Huffman alphabet")
+    if len(freqs) == 1:
+        sym = next(iter(freqs))
+        return [1] + [0] * 15, [sym]
+    heap = [(n, sym, (sym,)) for sym, n in freqs.items()]
+    heapq.heapify(heap)
+    depth = {s: 0 for s in freqs}
+    while len(heap) > 1:
+        n1, s1, g1 = heapq.heappop(heap)
+        n2, s2, g2 = heapq.heappop(heap)
+        for s in g1 + g2:
+            depth[s] += 1
+        heapq.heappush(heap, (n1 + n2, min(s1, s2), g1 + g2))
+    if max(depth.values()) > 15:
+        raise MediaFormatError("Huffman depth >15 (alphabet too skewed)")
+    # incomplete-code-space guard: if the tree is complete (it always is
+    # for >1 symbols), lengthen ONE deepest symbol by a bit — Kraft sum
+    # drops below 1 and the all-ones code at every length stays unused
+    deepest = max(depth, key=lambda s: (depth[s], s))
+    depth[deepest] += 1
+    bits = [0] * 16
+    for s in depth:
+        bits[depth[s] - 1] += 1
+    vals = sorted(depth, key=lambda s: (depth[s], s))
+    return bits, vals
+
+
+def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray,
+                         pad_h: int, pad_w: int) -> np.ndarray:
+    """Pad (edge-replicate) to (pad_h, pad_w), FDCT every 8x8 block,
+    quantize -> (rows, cols, 64) int zigzag coefficients."""
+    h, w = plane.shape
+    p = np.empty((pad_h, pad_w), np.float64)
+    p[:h, :w] = plane
+    p[h:, :w] = plane[-1:, :]
+    p[:h, w:] = plane[:, -1:]
+    p[h:, w:] = plane[-1, -1]
+    p -= 128.0
+    rows, cols = pad_h // 8, pad_w // 8
+    blk = p.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,rcxy,vy->rcuv", _DCT_A, blk, _DCT_A)
+    q = np.round(f.reshape(rows, cols, 64)[..., _ZZ]
+                 / qtab[None, None, :]).astype(np.int64)
+    return q
+
+
+def encode_jpeg(y: np.ndarray, cb: np.ndarray = None, cr: np.ndarray = None,
+                sampling: tuple = (2, 2), qt_luma: np.ndarray = None,
+                qt_chroma: np.ndarray = None,
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder from PLANES (not RGB): ``y`` is the full-res
+    luma (h, w) uint8; ``cb``/``cr`` (optional, both or neither) are
+    ALREADY-SUBSAMPLED chroma planes of shape
+    (ceil(h/sampling[1]), ceil(w/sampling[0])). Taking planes keeps the
+    encoder exact: the caller controls the YCbCr values bit-for-bit, so a
+    flat-tile fixture round-trips losslessly (fixtures compute golden RGB
+    from these planes with the same JFIF formulas the decoder uses).
+    Quant tables are zigzag-order int arrays (64,); defaults are flat 8s
+    (DC step 8 makes flat-tile DC coding exact for every uint8 level).
+    Huffman tables are built canonically from the actual symbol stream
+    and embedded in DHT segments — any conforming decoder reads them."""
+    y = np.asarray(y, np.uint8)
+    h, w = y.shape
+    qt_l = (np.full(64, 8, np.int64) if qt_luma is None
+            else np.asarray(qt_luma, np.int64))
+    qt_c = (np.full(64, 8, np.int64) if qt_chroma is None
+            else np.asarray(qt_chroma, np.int64))
+    color = cb is not None
+    sh, sv = (sampling if color else (1, 1))
+    mcus_x = -(-w // (8 * sh))
+    mcus_y = -(-h // (8 * sv))
+    yq = _encode_plane_blocks(y, qt_l, mcus_y * sv * 8, mcus_x * sh * 8)
+    planes = [("y", yq, sh, sv, 0)]
+    if color:
+        cb = np.asarray(cb, np.uint8)
+        cr = np.asarray(cr, np.uint8)
+        exp = (-(-h // sv), -(-w // sh))
+        if cb.shape != exp or cr.shape != exp:
+            raise ValueError(f"chroma planes must be {exp}, got {cb.shape}")
+        cbq = _encode_plane_blocks(cb, qt_c, mcus_y * 8, mcus_x * 8)
+        crq = _encode_plane_blocks(cr, qt_c, mcus_y * 8, mcus_x * 8)
+        planes += [("cb", cbq, 1, 1, 1), ("cr", crq, 1, 1, 1)]
+
+    # ---- pass 1: symbol stream in MCU order ----
+    # tokens: (table_kind, table_id, symbol, extra_bits_value, extra_len)
+    tokens = []
+    preds = {name: 0 for name, *_ in planes}
+
+    def code_block(name, tid, coef):
+        diff = int(coef[0]) - preds[name]
+        preds[name] = int(coef[0])
+        t = _category(diff)
+        extra = diff if diff >= 0 else diff + (1 << t) - 1
+        tokens.append(("dc", tid, t, extra, t))
+        run = 0
+        nz = np.nonzero(coef[1:])[0]
+        last = (nz[-1] + 1) if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(coef[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                tokens.append(("ac", tid, 0xF0, 0, 0))  # ZRL
+                run -= 16
+            s = _category(v)
+            extra = v if v >= 0 else v + (1 << s) - 1
+            tokens.append(("ac", tid, (run << 4) | s, extra, s))
+            run = 0
+        if last < 63:
+            tokens.append(("ac", tid, 0x00, 0, 0))  # EOB
+
+    mcu_bounds = [len(tokens)]
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            preds = {name: 0 for name, *_ in planes}
+            mcu_bounds.append(len(tokens))  # restart boundary marker
+        my, mx = divmod(m, mcus_x)
+        for name, q, ph, pv, tid in planes:
+            for v in range(pv):
+                for hh in range(ph):
+                    code_block(name, tid, q[my * pv + v, mx * ph + hh])
+    mcu_bounds.append(len(tokens))
+
+    # ---- build Huffman tables from actual frequencies ----
+    tables = {}
+    for kind in ("dc", "ac"):
+        for tid in {t for k, t, *_ in
+                    [(tok[0], tok[1]) for tok in tokens] if k == kind}:
+            freqs = {}
+            for k, t, sym, _, _ in tokens:
+                if k == kind and t == tid:
+                    freqs[sym] = freqs.get(sym, 0) + 1
+            tables[(kind, tid)] = _build_huff_table(freqs)
+
+    codes = {key: {sym: (code, ln)
+                   for (ln, code), sym in _huff_canonical(*tbl).items()}
+             for key, tbl in tables.items()}
+    # invert: _huff_canonical maps (len, code)->sym; flip to sym->(code, len)
+
+    # ---- pass 2: emit ----
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = bytes([0x00]) + bytes(int(x) for x in qt_l)
+    if color:
+        dqt += bytes([0x01]) + bytes(int(x) for x in qt_c)
+    out += seg(0xDB, dqt)
+    sof = struct.pack(">BHHB", 8, h, w, 3 if color else 1)
+    sof += struct.pack(">BBB", 1, (sh << 4) | sv, 0)
+    if color:
+        sof += struct.pack(">BBB", 2, 0x11, 1)
+        sof += struct.pack(">BBB", 3, 0x11, 1)
+    out += seg(0xC0, sof)
+    dht = b""
+    for (kind, tid), (bits, vals) in sorted(tables.items()):
+        tc = 0 if kind == "dc" else 1
+        dht += bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals)
+    out += seg(0xC4, dht)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([3 if color else 1])
+    sos += struct.pack(">BB", 1, 0x00)
+    if color:
+        sos += struct.pack(">BB", 2, 0x11)
+        sos += struct.pack(">BB", 3, 0x11)
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    for si in range(len(mcu_bounds) - 1):
+        if si:
+            out += bytes([0xFF, 0xD0 + ((si - 1) % 8)])
+        bw = _BitWriter()
+        for tok in tokens[mcu_bounds[si]:mcu_bounds[si + 1]]:
+            kind, tid, sym, extra, elen = tok
+            code, ln = codes[(kind, tid)][sym]
+            bw.write(code, ln)
+            if elen:
+                bw.write(extra, elen)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Sniffing + the operator-facing decode hooks
 # --------------------------------------------------------------------------
 
 def sniff(data: bytes) -> str | None:
-    """'bmp' | 'png' | 'wav' | None by magic bytes."""
+    """'jpeg' | 'bmp' | 'png' | 'wav' | None by magic bytes."""
     if data is None:
         return None
     head = bytes(data[:12])
     if head.startswith(PNG_SIG):
         return "png"
+    if head.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     if head.startswith(b"BM") and len(data) >= 54:
         return "bmp"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -377,6 +962,8 @@ def decode_image(data: bytes) -> np.ndarray:
     kind = sniff(data)
     if kind == "png":
         return decode_png(data)
+    if kind == "jpeg":
+        return decode_jpeg(data)
     if kind == "bmp":
         return decode_bmp(data)
     raise MediaFormatError("not a decodable image payload")
@@ -400,6 +987,9 @@ def decode_media_meta(payload: bytes, strict: bool = False) -> dict:
     try:
         if kind == "png":
             w, h, _, _ = png_ihdr(payload)
+            return {**base, "media_type": "image", "width": w, "height": h}
+        if kind == "jpeg":
+            w, h, _ = jpeg_header(payload)  # header walk, no entropy decode
             return {**base, "media_type": "image", "width": w, "height": h}
         if kind == "bmp":
             w, h, _, _, _ = bmp_header(payload)  # header-only, no pixels
@@ -427,7 +1017,7 @@ def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
         return np.zeros(dim)
     kind = sniff(payload)
     try:
-        if kind in ("png", "bmp"):
+        if kind in ("png", "bmp", "jpeg"):
             arr = decode_image(payload).astype(np.int64)
             if arr.shape[2] >= 3:
                 luma = (299 * arr[..., 0] + 587 * arr[..., 1]

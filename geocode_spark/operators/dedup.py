@@ -20,6 +20,7 @@ Determinism note: hash family is xxhash-free — pure numpy multiply-shift
 
 from __future__ import annotations
 
+import threading
 from typing import Iterator
 
 import numpy as np
@@ -195,9 +196,13 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     sigs = minhash_signatures(df.select(id_col, text_col), text_col, id_col,
                               num_hashes, shingle_k).select(id_col, "signature")
     sigs = sigs.persist()
-    _SIG_CACHE.append(sigs)
-    while len(_SIG_CACHE) > _SIG_CACHE_SIZE:
-        _unpersist_quietly(_SIG_CACHE.pop(0))
+    evicted = []
+    with _SIG_LOCK:
+        _SIG_CACHE.append(sigs)
+        while len(_SIG_CACHE) > _SIG_CACHE_SIZE:
+            evicted.append(_SIG_CACHE.pop(0))
+    for e in evicted:
+        _unpersist_quietly(e)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
                                max_bucket_size, sig_len=num_hashes)
     sl = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
@@ -214,9 +219,11 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     return est
 
 
-# bounded signature-cache FIFO (see minhash_dedup_pairs docstring)
+# bounded signature-cache FIFO (see minhash_dedup_pairs docstring);
+# mutations locked — drivers may submit jobs from several threads
 _SIG_CACHE: list[DataFrame] = []
 _SIG_CACHE_SIZE = 2
+_SIG_LOCK = threading.Lock()
 
 
 def _unpersist_quietly(cached: DataFrame) -> None:
@@ -234,8 +241,10 @@ def clear_signature_cache() -> None:
     call this between repeats to measure COLD runs (Spark's cache manager
     matches canonicalized plans, so without it a repeat of the identical
     call would silently reuse the previous repeat's blocks)."""
-    while _SIG_CACHE:
-        _unpersist_quietly(_SIG_CACHE.pop())
+    with _SIG_LOCK:
+        drained, _SIG_CACHE[:] = _SIG_CACHE[:], []
+    for e in drained:
+        _unpersist_quietly(e)
 
 
 # simhash token-hash definition (fully specified so an independent SQL
@@ -492,7 +501,17 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     silently WRONG labels (one cluster reported as several). ``strict=True``
     (default) raises instead; ``strict=False`` downgrades to a warning for
     exploratory runs. Raise ``max_iters`` (rounds are cheap, O(diameter)
-    total) rather than loosening."""
+    total) rather than loosening.
+
+    SESSION-LEVEL SIDE EFFECT: the loop disables AQE
+    (``spark.sql.adaptive.enabled``) for its duration and restores the
+    prior value on exit — Spark offers no narrower scope for that conf. A
+    driver that submits OTHER queries on the same SparkSession from other
+    threads while this runs will briefly plan them without AQE (correct
+    results, possibly slower plans). Single-query-at-a-time sessions —
+    the normal batch deployment — are unaffected; concurrent-query
+    drivers should run dup_clusters on its own session
+    (``spark.newSession()`` shares the cluster but isolates conf)."""
     import warnings
 
     def _round(cur):
@@ -581,7 +600,8 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
                            method: str = "auto",
                            max_exact_rows: int = 100_000,
                            dim: int | None = None,
-                           bits: int = 12, seed: int = 42) -> DataFrame:
+                           bits: int = 12, seed: int = 42,
+                           hamming_probes: int = 0) -> DataFrame:
     """Near-dup by embedding cosine similarity.
 
     ``method``:
@@ -591,7 +611,15 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         (similarity.lsh_buckets), pairs join only within a bucket. Recall
         <1 for low thresholds (pairs split across buckets are missed);
         near-dup thresholds (>=0.9, small angles) collide with high
-        probability per bit. Requires ``dim``.
+        probability per bit. Requires ``dim``. ``hamming_probes`` (0, 1
+        or 2 — the lsh_topk multi-probe, reused) additionally matches
+        pairs whose sketches differ in up to that many bits: one side of
+        the self-join fans out to its flipped buckets, which lifts recall
+        below ~0.95 thresholds at probe-side fanout cost only (the other
+        side — and so the join's build volume — is untouched). Each
+        qualifying pair still appears exactly once: only one side fans
+        out, and its distinct probe buckets can match a fixed partner
+        bucket at most once.
       * ``"auto"``     — exact while the corpus is provably small,
         bucketed beyond. The probe is BOUNDED: ``limit(max_exact_rows + 1)
         .count()`` — at web scale the scan short-circuits after the limit
@@ -646,8 +674,22 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         sk = lsh_buckets(norm.filter(F.col("nv").isNotNull()),
                          dim=dim, bits=bits, vec_col="nv", seed=seed,
                          out_col="__bkt")
-        a = sk.select(F.col(id_col).alias("id_a"), F.col("nv").alias("v_a"),
-                      F.col("__n").alias("n_a"), F.col("__bkt").alias("b_a"))
+        if hamming_probes not in (0, 1, 2):
+            raise ValueError("hamming_probes supports 0, 1 or 2")
+        a_src = sk
+        if hamming_probes and bits:
+            flips = [F.col("__bkt")] + [
+                F.col("__bkt").bitwiseXOR(F.lit(1 << i))
+                for i in range(bits)]
+            if hamming_probes == 2:
+                flips += [
+                    F.col("__bkt").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+                    for i in range(bits) for j in range(i + 1, bits)]
+            a_src = sk.withColumn("__bkt", F.explode(F.array(*flips)))
+        a = a_src.select(F.col(id_col).alias("id_a"),
+                         F.col("nv").alias("v_a"),
+                         F.col("__n").alias("n_a"),
+                         F.col("__bkt").alias("b_a"))
         b = sk.select(F.col(id_col).alias("id_b"), F.col("nv").alias("v_b"),
                       F.col("__n").alias("n_b"), F.col("__bkt").alias("b_b"))
         cond = (F.col("b_a") == F.col("b_b")) & (F.col("id_a") < F.col("id_b"))

@@ -186,6 +186,11 @@ def frame_sample(df: DataFrame, binary_col: str = "html", n_frames: int = 4,
     """Explode a media payload into <=n sampled frames
     (frame_idx, frame_bytes). WAV audio is sliced into real block-aligned
     PCM segments; other payloads byte-slice deterministically."""
+    if n_frames < 1:
+        # validate on the driver: inside the executors this becomes a
+        # ZeroDivisionError in the slicers, which is outside the
+        # MediaFormatError downgrade policy and would fail the whole task
+        raise ValueError(f"n_frames must be >= 1, got {n_frames}")
     fn = frame_fn or _default_frames
     out_schema = StructType(df.schema.fields + [
         StructField("frame_idx", IntegerType()),

@@ -30,6 +30,7 @@ Python workers doing vectorized numpy; nothing is collected to the driver.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from typing import Iterator
 
@@ -187,33 +188,65 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
 # Re-broadcasting the SAME prepared table on every reverse_geocode call
 # re-serializes the cover map + geometries driver-side each time — a pure
 # per-run serial floor that caps scaling efficiency of short pipeline
-# runs. BOUNDED LRU: a deployment that loads a fresh PreparedRegions per
-# batch would otherwise accumulate executor broadcast blocks without
-# limit; eviction unpersists (executors drop their copies; a still-lazy
-# plan holding an evicted broadcast just re-fetches from the driver on
-# next use — unpersist, never destroy). The cache holds STRONG refs to
-# both sc and prep: that pins their id()s, so a recycled address can
-# never alias a cache key (id reuse requires the old object freed).
+# runs. BOUNDED LRU, by ESTIMATED BYTES with an entry-count backstop: at
+# high cell resolutions a single cover map can reach GBs, so an
+# entry-count bound alone could pin several of them driver-side; eviction
+# runs until the cached estimate fits the byte budget (the newest entry
+# always stays, however large). Eviction unpersists (executors drop their
+# copies; a still-lazy plan holding an evicted broadcast just re-fetches
+# from the driver on next use — unpersist, never destroy). The cache
+# holds STRONG refs to both sc and prep: that pins their id()s, so a
+# recycled address can never alias a cache key (id reuse requires the old
+# object freed). All mutation is under a lock — drivers may submit jobs
+# from several threads (ADVICE round 4).
 _BCAST_CACHE: OrderedDict = OrderedDict()
 _BCAST_CACHE_SIZE = 8
+_BCAST_CACHE_BYTES = 512 * 1024 * 1024
+_BCAST_LOCK = threading.Lock()
+
+
+def _prep_nbytes(prep: "PreparedRegions") -> int:
+    """Driver-side estimate of what broadcasting this prep pins: the
+    cover DataFrame (deep) + every geometry array."""
+    n = 0
+    if prep.cover is not None:
+        n += int(prep.cover.memory_usage(deep=True).sum())
+    for xs, ys, offs, _bbox in prep.geoms.values():
+        n += xs.nbytes + ys.nbytes + getattr(offs, "nbytes", 64) + 64
+    return n
 
 
 def _broadcast_prep(sc, prep: "PreparedRegions"):
     key = (id(sc), id(prep))
-    hit = _BCAST_CACHE.get(key)
-    if hit is not None and hit[0] is sc and hit[1] is prep:
-        _BCAST_CACHE.move_to_end(key)
-        return hit[2], hit[3]
+    with _BCAST_LOCK:
+        hit = _BCAST_CACHE.get(key)
+        if hit is not None and hit[0] is sc and hit[1] is prep:
+            _BCAST_CACHE.move_to_end(key)
+            return hit[2], hit[3]
+    # broadcast outside the lock (serialization can take seconds); a rare
+    # concurrent double-build of the same prep just wastes one broadcast,
+    # which the insert below detects and unpersists
     b_cover = sc.broadcast(prep.cover)
     b_geoms = sc.broadcast(prep.geoms)
-    _BCAST_CACHE[key] = (sc, prep, b_cover, b_geoms)
-    while len(_BCAST_CACHE) > _BCAST_CACHE_SIZE:
-        _, _, old_c, old_g = _BCAST_CACHE.popitem(last=False)[1]
-        for b in (old_c, old_g):
-            try:
-                b.unpersist(blocking=False)
-            except Exception:
-                pass  # stopped context: nothing to free
+    stale = []
+    with _BCAST_LOCK:
+        hit = _BCAST_CACHE.get(key)
+        if hit is not None and hit[0] is sc and hit[1] is prep:
+            stale = [b_cover, b_geoms]  # lost the race: keep the winner
+            b_cover, b_geoms = hit[2], hit[3]
+        else:
+            _BCAST_CACHE[key] = (sc, prep, b_cover, b_geoms, _prep_nbytes(prep))
+            while len(_BCAST_CACHE) > 1 and (
+                    len(_BCAST_CACHE) > _BCAST_CACHE_SIZE
+                    or sum(e[4] for e in _BCAST_CACHE.values())
+                    > _BCAST_CACHE_BYTES):
+                _, _, old_c, old_g, _ = _BCAST_CACHE.popitem(last=False)[1]
+                stale.extend((old_c, old_g))
+    for b in stale:
+        try:
+            b.unpersist(blocking=False)
+        except Exception:
+            pass  # stopped context: nothing to free
     return b_cover, b_geoms
 
 
@@ -366,6 +399,10 @@ def reverse_geocode_multi(
 
     ``keep_cell`` adds one ``cell_id`` column at the FIRST assignment's
     resolution (the chained equivalent of keep_cell on the first call)."""
+    if not assignments:
+        # fail on the driver, not inside an executor task (keep_cell=True
+        # would otherwise call cell_of(..., res=None) at run time)
+        raise ValueError("assignments must name at least one prepared set")
     spark = points.sparkSession
     sc = spark.sparkContext
     specs = []

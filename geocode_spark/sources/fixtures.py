@@ -280,15 +280,34 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     SOURCE arrays / generation parameters, never by running the byte
     DECODERS — so the driver's media queries prove that
     bytes -> decode recovers the generation truth end-to-end. Kinds cycle
-    through BMP, the four supported PNG color types, mono/stereo WAV at
-    several sample rates, and plain binary blobs; one trailing row has a
-    NULL payload (null-handling coverage)."""
-    from ..functions.media import encode_bmp, encode_png, encode_wav, sniff
+    through BMP, the four supported PNG color types, baseline JPEG
+    (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample rates,
+    and plain binary blobs; one trailing row has a NULL payload
+    (null-handling coverage).
+
+    JPEG is lossy, so its fixtures are drawn from the class where
+    baseline JPEG is exactly lossless end-to-end: images flat per 8x8
+    tile (16x16 for 4:2:0 color, whose chroma is flat per 8x8 block in
+    subsampled space) with a DC quantization step of 8 — the FDCT of a
+    flat block is a lone DC coefficient that quantizes without rounding
+    loss, so decode must recover every source value bit-for-bit. Color
+    sources are generated in YCbCr space; the golden RGB is computed
+    HERE from those planes via an inline transcription of the JFIF
+    color formula and the decoder's box-replication index mapping —
+    pure generation-time arithmetic, never a decoder call."""
+    from ..functions.media import (encode_bmp, encode_jpeg, encode_png,
+                                   encode_wav, sniff)
 
     rng = np.random.default_rng(seed)
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
+             "jpeg_gray", "jpeg_420",
              "wav_mono", "wav_stereo", "bin"]
     rw, rh = resize_wh
+
+    def flat_tiles(h, w, tile):
+        t = rng.integers(0, 256, (-(-h // tile), -(-w // tile)),
+                         dtype=np.uint8)
+        return np.repeat(np.repeat(t, tile, 0), tile, 1)[:h, :w]
 
     def luma_hist(arr):
         a = arr.astype(np.int64)
@@ -306,14 +325,38 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
         meta = {"media_id": i, "media_type": "binary",
                 "n_bytes": 0, "width": None, "height": None,
                 "duration_ms": None}
-        if kind.startswith("png") or kind == "bmp":
-            w = int(rng.integers(4, 21))
-            h = int(rng.integers(4, 21))
-            ch = {"bmp": 3, "png_gray": 1, "png_rgb": 3, "png_ga": 2,
-                  "png_rgba": 4}[kind]
-            src = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
-            payload = (encode_bmp(src) if kind == "bmp"
-                       else encode_png(src))
+        if kind.startswith(("png", "jpeg")) or kind == "bmp":
+            if kind == "jpeg_gray":
+                h = int(rng.integers(4, 41))
+                w = int(rng.integers(4, 41))
+                src = flat_tiles(h, w, 8)[:, :, None]
+                payload = encode_jpeg(src[:, :, 0])
+            elif kind == "jpeg_420":
+                h = int(rng.integers(8, 49))
+                w = int(rng.integers(8, 49))
+                y = flat_tiles(h, w, 16)
+                ch2, cw2 = -(-h // 2), -(-w // 2)
+                cb = flat_tiles(ch2, cw2, 8)
+                cr = flat_tiles(ch2, cw2, 8)
+                payload = encode_jpeg(y, cb, cr, sampling=(2, 2))
+                # golden RGB: JFIF color formula + the decoder's
+                # box-replication index mapping, transcribed inline
+                ui, xi = np.arange(h) // 2, np.arange(w) // 2
+                yf = y.astype(np.float64)
+                cbf = cb[ui][:, xi].astype(np.float64) - 128.0
+                crf = cr[ui][:, xi].astype(np.float64) - 128.0
+                rgb = np.stack([yf + 1.402 * crf,
+                                yf - 0.344136 * cbf - 0.714136 * crf,
+                                yf + 1.772 * cbf], axis=-1)
+                src = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            else:
+                w = int(rng.integers(4, 21))
+                h = int(rng.integers(4, 21))
+                ch = {"bmp": 3, "png_gray": 1, "png_rgb": 3, "png_ga": 2,
+                      "png_rgba": 4}[kind]
+                src = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+                payload = (encode_bmp(src) if kind == "bmp"
+                           else encode_png(src))
             meta.update(media_type="image", width=w, height=h)
             feat_g.append({"media_id": i,
                            "features": luma_hist(src).tolist()})

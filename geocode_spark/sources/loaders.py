@@ -269,7 +269,11 @@ def pages_snapshot_id(spark: SparkSession, source: str) -> str | None:
         # rolled-back and staged/WAP snapshots, so pinning to it would
         # silently read non-current data after a rollback). Any failure —
         # no runtime, not a table, no snapshots — means "cannot pin".
-        quoted = ".".join(f"`{p}`" for p in source.split("."))
+        # escape backticks inside each part: a name containing ` would
+        # otherwise break out of the quoting (the bare except below would
+        # mask it as 'cannot pin', but don't rely on that)
+        quoted = ".".join("`" + p.replace("`", "``") + "`"
+                          for p in source.split("."))
         try:
             row = spark.sql(
                 f"SELECT snapshot_id FROM {quoted}.`history` "

@@ -19,12 +19,14 @@ as 0.707 at 2->8). A trial is VALID if and only if both its pre-trial and
 post-trial pinned hardware probes (best-of-3 burns per level, the
 max-throughput estimator of uncontended capability) read >= GATE (default
 0.95). A pre-probe below GATE skips the engine run entirely (cooldown,
-retry); a post-probe below GATE discards the engine numbers (the host
-degraded mid-trial). The run collects trials until N_VALID valid ones,
-MAX_ATTEMPTS attempts, or the wall budget is exhausted. EVERY attempt —
-valid, discarded, or skipped — is disclosed in the report. The median is
-taken over valid trials only; if no attempt passes the gate, the report
-falls back to the median over all engine-run trials and says so.
+retry — skips are bounded only by the wall budget); a post-probe below
+GATE discards the engine numbers (the host degraded mid-trial). The run
+collects trials until N_VALID valid ones, MAX_ATTEMPTS engine-run
+attempts, or the wall budget is exhausted. EVERY attempt — valid,
+discarded, or skipped — is disclosed in the report. The median is taken
+over valid trials only; if the gated phase produces no engine trial at
+all, N_VALID ungated trials run anyway, labeled as contended-host
+fallback data, and the report says so.
 
 Writes BENCH/BASELINE.md and prints a JSON summary.
 """
@@ -64,8 +66,10 @@ SCALING_SIZES = {
 
 GATE = float(os.environ.get("SPARK_SCALING_GATE", "0.95"))
 N_VALID = int(os.environ.get("SPARK_SCALING_TRIALS", "5"))
-MAX_ATTEMPTS = int(os.environ.get("SPARK_SCALING_MAX_ATTEMPTS", "15"))
-BUDGET_S = float(os.environ.get("SPARK_SCALING_BUDGET_S", "7200"))
+# cap on ENGINE-RUN attempts (each costs ~4-6 min); pre-probe skips cost
+# ~1 min each and are bounded only by the gated-phase budget
+MAX_ATTEMPTS = int(os.environ.get("SPARK_SCALING_MAX_ATTEMPTS", "12"))
+BUDGET_S = float(os.environ.get("SPARK_SCALING_BUDGET_S", "4500"))
 COOLDOWN_S = float(os.environ.get("SPARK_SCALING_COOLDOWN_S", "60"))
 
 
@@ -88,10 +92,11 @@ def cpu_probe(pin: bool = False, levels=(1, 2, 4, 8, 16, 32)) -> dict:
         for procs in levels:
             if pin:
                 os.sched_setaffinity(0, set(range(procs)))
-            t0 = time.time()
             with mp.Pool(procs) as p:
+                p.map(_burn, [10_000] * procs)  # fork+import cost, untimed
+                t0 = time.time()
                 p.map(_burn, [n] * procs)
-            dt = time.time() - t0
+                dt = time.time() - t0
             out[procs] = round(procs * n / dt / 1e6, 2)  # total Miters/s
     finally:
         if prev is not None:
@@ -178,11 +183,29 @@ def main():
 
     probe = cpu_probe(pin=PIN)
 
-    attempts = []   # every attempt: skipped / discarded / valid
+    attempts = []   # every attempt: skipped / discarded / valid / fallback
     trials = []     # engine-run trials: (eff, ceil, results, valid)
+
+    def engine_trial(pre: float, status_if_pass: str = "valid"):
+        r = {c: run_bench(c, env) for c in LEVELS}
+        eff = (_work_total(r[lo]) / _work_total(r[hi])) / factor
+        post = gate_probe(lo, hi)
+        ceil = min(pre, post)
+        if status_if_pass == "fallback":
+            status = "fallback"
+        else:
+            status = "valid" if post >= GATE else "discarded"
+        attempts.append({"status": status, "pre": round(pre, 3),
+                         "post": round(post, 3), "eff": round(eff, 3)})
+        trials.append((eff, ceil, r, status == "valid"))
+        print(f"# attempt {len(attempts)}: pre {pre:.3f} post {post:.3f} "
+              f"eff {eff:.3f} -> {status}", file=sys.stderr)
+        return status
+
     while True:
-        n_valid = sum(1 for t in attempts if t["status"] == "valid")
-        if (n_valid >= N_VALID or len(attempts) >= MAX_ATTEMPTS
+        n_valid = sum(1 for t in trials if t[3])
+        n_engine = len(trials)
+        if (n_valid >= N_VALID or n_engine >= MAX_ATTEMPTS
                 or time.time() - t_start > BUDGET_S):
             break
         pre = gate_probe(lo, hi)
@@ -194,26 +217,20 @@ def main():
                   file=sys.stderr)
             time.sleep(COOLDOWN_S)
             continue
-        r = {c: run_bench(c, env) for c in LEVELS}
-        eff = (_work_total(r[lo]) / _work_total(r[hi])) / factor
-        post = gate_probe(lo, hi)
-        ceil = min(pre, post)
-        status = "valid" if post >= GATE else "discarded"
-        attempts.append({"status": status, "pre": round(pre, 3),
-                         "post": round(post, 3), "eff": round(eff, 3)})
-        trials.append((eff, ceil, r, status == "valid"))
-        print(f"# attempt {len(attempts)}: pre {pre:.3f} post {post:.3f} "
-              f"eff {eff:.3f} -> {status}", file=sys.stderr)
-        if status == "discarded":
+        if engine_trial(pre) == "discarded":
             time.sleep(COOLDOWN_S)
 
     valid = [t for t in trials if t[3]]
+    if not trials:
+        # gated phase never saw a quiet host: run the trials anyway so the
+        # report always carries engine numbers + paired ceilings — labeled
+        # as fallback (contended-host) data, never presented as gate-passing
+        print(f"# gated phase ended with zero engine trials — running "
+              f"{N_VALID} ungated fallback trials", file=sys.stderr)
+        for _ in range(N_VALID):
+            engine_trial(gate_probe(lo, hi), status_if_pass="fallback")
     pool = valid if valid else trials
     gated = bool(valid)
-    if not pool:
-        raise RuntimeError(
-            f"no engine trials ran: every pre-probe < {GATE} for "
-            f"{len(attempts)} attempts — host contended all run")
     pool_sorted = sorted(pool, key=lambda x: x[0])
     median_eff, median_ceil, results, _ = pool_sorted[len(pool_sorted) // 2]
 
@@ -270,9 +287,13 @@ def main():
         f"0.707). Rule, declared before this run: a trial is valid iff "
         f"BOTH its pre- and post-trial pinned hardware probes (best-of-3 "
         f"burns per level) read >= {GATE}; pre-probe failures skip the "
-        f"engine run, post-probe failures discard it; collect until "
-        f"{N_VALID} valid trials / {MAX_ATTEMPTS} attempts / "
-        f"{BUDGET_S / 60:.0f} min. Every attempt is disclosed:",
+        f"engine run (bounded only by the budget), post-probe failures "
+        f"discard it; collect until {N_VALID} valid trials / "
+        f"{MAX_ATTEMPTS} engine-run attempts / {BUDGET_S / 60:.0f} min. "
+        f"If the gated phase ends with zero engine trials, {N_VALID} "
+        f"ungated trials run anyway, labeled 'fallback' — contended-host "
+        f"data, never presented as gate-passing. Every attempt is "
+        f"disclosed:",
         "",
         "| attempt | pre-probe | post-probe | engine eff | status |",
         "|---|---|---|---|---|",

@@ -309,3 +309,273 @@ class TestMalformedPayloadTaxonomy:
             arr = decode_bmp(blob)
             assert (bw, bh) == (arr.shape[1], arr.shape[0])
             assert bpp == 24 and td == 0
+
+
+# --------------------------------------------------------------------------
+# JPEG: hand-constructed baseline streams (struct-built, not encode_jpeg)
+# --------------------------------------------------------------------------
+
+def _seg(marker, body):
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _dht(tc, th, bits, vals):
+    return bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+
+
+def _jpeg_gray_1block(qt, dht_body, entropy, w=8, h=8):
+    """Minimal 1-component baseline JPEG: one DQT, SOF0, one DHT segment
+    holding all tables, SOS, raw entropy bytes, EOI."""
+    return (b"\xff\xd8"
+            + _seg(0xDB, bytes([0x00]) + bytes(qt))
+            + _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                   + struct.pack(">BBB", 1, 0x11, 0))
+            + _seg(0xC4, dht_body)
+            + _seg(0xDA, bytes([1]) + struct.pack(">BB", 1, 0x00)
+                   + bytes([0, 63, 0]))
+            + entropy + b"\xff\xd9")
+
+
+class TestJpegSpecBytes:
+    def test_dc_only_flat_block(self):
+        """DC coefficient 16 with flat qt=1: IDCT of a lone DC is the
+        constant DC/8, so every pixel must be exactly 130."""
+        from geocode_spark.functions.media import decode_jpeg, jpeg_header
+
+        # DC table: single symbol 5 (category), code '0'; AC: single
+        # symbol 0x00 (EOB), code '0'
+        dht = _dht(0, 0, [1] + [0] * 15, [5]) + _dht(1, 0, [1] + [0] * 15, [0])
+        # bits: DC code 0, magnitude 10000 (=16), EOB code 0 -> 0100000_1 pad
+        entropy = bytes([0b01000001])
+        data = _jpeg_gray_1block([1] * 64, dht, entropy)
+        assert jpeg_header(data) == (8, 8, 1)
+        out = decode_jpeg(data)
+        assert out.shape == (8, 8, 1)
+        assert np.all(out == 130)
+
+    def test_single_ac_coefficient_against_independent_idct(self):
+        """One AC coefficient (zigzag slot 1 = row-major (0,1), value 3,
+        qt entry 8): expected pixels computed here with a straight
+        transcription of the T.81 IDCT formula, independent of the
+        decoder's einsum pipeline."""
+        from geocode_spark.functions.media import decode_jpeg
+
+        # DC: symbol 0 (zero diff), code '0'. AC: symbols [2, 0x00]:
+        # canonical lengths 1,2 -> codes '0', '10'
+        dht = _dht(0, 0, [1] + [0] * 15, [0]) + _dht(1, 0, [1, 1] + [0] * 14,
+                                                     [2, 0x00])
+        # DC '0'; AC sym2 '0' + magnitude '11' (=3); EOB '10' -> 001110_11
+        entropy = bytes([0b00111011])
+        data = _jpeg_gray_1block([8] * 64, dht, entropy)
+        out = decode_jpeg(data)[:, :, 0]
+
+        coef = np.zeros((8, 8))
+        coef[0, 1] = 3 * 8  # dequantized
+
+        def c(u):
+            return 1 / np.sqrt(2) if u == 0 else 1.0
+
+        exp = np.empty((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += (c(u) * c(v) / 4 * coef[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                exp[x, y] = s
+        exp = np.clip(np.round(exp) + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(out, exp)
+
+    def test_entropy_unstuffing_and_restart_split(self):
+        from geocode_spark.functions.media import _entropy_segments
+
+        raw = b"\x12\xff\x00\x34\xff\xd0\x56\xff\xd9trailing"
+        segs = _entropy_segments(raw, 0)
+        assert segs == [b"\x12\xff\x34", b"\x56"]
+
+    def test_progressive_rejected_but_header_readable(self):
+        from geocode_spark.functions.media import decode_jpeg, jpeg_header
+
+        data = (b"\xff\xd8"
+                + _seg(0xC2, struct.pack(">BHHB", 8, 40, 30, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + b"\x00\xff\xd9")
+        assert jpeg_header(data) == (30, 40, 1)  # meta path still works
+        with pytest.raises(MediaFormatError, match="baseline"):
+            decode_jpeg(data)
+
+    def test_rejections(self):
+        from geocode_spark.functions.media import decode_jpeg
+
+        with pytest.raises(MediaFormatError, match="SOI"):
+            decode_jpeg(b"\x00\x01")
+        # 12-bit precision
+        dht = _dht(0, 0, [1] + [0] * 15, [0]) + _dht(1, 0, [1] + [0] * 15, [0])
+        data = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + _seg(0xC0, struct.pack(">BHHB", 12, 8, 8, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xC4, dht)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bytes([0b01000001]) + b"\xff\xd9")
+        with pytest.raises(MediaFormatError, match="precision"):
+            decode_jpeg(data)
+        # truncated entropy: declared 16x8 (two MCUs), bits for one
+        dht2 = _dht(0, 0, [1] + [0] * 15, [5]) + _dht(1, 0, [1] + [0] * 15,
+                                                      [0])
+        data = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xC4, dht2)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bytes([0b01000001]) + b"\xff\xd9")
+        with pytest.raises(MediaFormatError):
+            decode_jpeg(data)
+
+    def test_declared_dims_guard(self):
+        from geocode_spark.functions.media import decode_jpeg
+
+        dht = _dht(0, 0, [1] + [0] * 15, [5]) + _dht(1, 0, [1] + [0] * 15, [0])
+        data = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + _seg(0xC0, struct.pack(">BHHB", 8, 30000, 30000, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xC4, dht)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + bytes([0b01000001]) + b"\xff\xd9")
+        with pytest.raises(MediaFormatError, match="max_pixels"):
+            decode_jpeg(data)
+
+
+class TestJpegRoundTrips:
+    def test_flat_tile_gray_exact(self):
+        from geocode_spark.functions.media import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(11)
+        for h, w in [(8, 8), (13, 21), (40, 33)]:
+            tiles = rng.integers(0, 256, (-(-h // 8), -(-w // 8)),
+                                 dtype=np.uint8)
+            y = np.repeat(np.repeat(tiles, 8, 0), 8, 1)[:h, :w]
+            out = decode_jpeg(encode_jpeg(y))
+            assert np.array_equal(out[:, :, 0], y)
+
+    def test_flat_tile_420_color_exact(self):
+        from geocode_spark.functions.media import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(12)
+        h, w = 33, 50
+        ty = rng.integers(0, 256, (-(-h // 16), -(-w // 16)), dtype=np.uint8)
+        y = np.repeat(np.repeat(ty, 16, 0), 16, 1)[:h, :w]
+        ch2, cw2 = -(-h // 2), -(-w // 2)
+        cb = np.repeat(np.repeat(
+            rng.integers(0, 256, (-(-ch2 // 8), -(-cw2 // 8)),
+                         dtype=np.uint8), 8, 0), 8, 1)[:ch2, :cw2]
+        cr = np.repeat(np.repeat(
+            rng.integers(0, 256, (-(-ch2 // 8), -(-cw2 // 8)),
+                         dtype=np.uint8), 8, 0), 8, 1)[:ch2, :cw2]
+        out = decode_jpeg(encode_jpeg(y, cb, cr, sampling=(2, 2)))
+        ui, xi = np.arange(h) // 2, np.arange(w) // 2
+        yf = y.astype(np.float64)
+        cbf = cb[ui][:, xi].astype(np.float64) - 128.0
+        crf = cr[ui][:, xi].astype(np.float64) - 128.0
+        exp = np.clip(np.round(np.stack(
+            [yf + 1.402 * crf, yf - 0.344136 * cbf - 0.714136 * crf,
+             yf + 1.772 * cbf], axis=-1)), 0, 255).astype(np.uint8)
+        assert np.array_equal(out, exp)
+
+    def test_restart_interval_roundtrip(self):
+        from geocode_spark.functions.media import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(13)
+        tiles = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+        y = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+        data = encode_jpeg(y, restart_interval=3)
+        assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+        assert np.array_equal(decode_jpeg(data)[:, :, 0], y)
+
+    def test_lossy_general_image_close(self):
+        """Arbitrary (non-flat) content: baseline JPEG at flat qt=8 is
+        lossy but must stay close — the general-encoder sanity bound."""
+        from geocode_spark.functions.media import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(14)
+        y = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(y))[:, :, 0]
+        assert np.abs(out.astype(int) - y.astype(int)).max() < 48
+
+    def test_meta_and_features_dispatch(self):
+        from geocode_spark.functions.media import encode_jpeg
+
+        y = np.full((16, 24), 77, np.uint8)
+        data = encode_jpeg(y)
+        assert sniff(data) == "jpeg"
+        m = decode_media_meta(data)
+        assert (m["media_type"], m["width"], m["height"]) == ("image", 24, 16)
+        f = media_features(data)
+        hist = np.zeros(16)
+        hist[77 * 16 // 256] = 1.0  # all pixels in one luma bin
+        assert np.array_equal(f, hist)
+        resized = resize_image_payload(data, 8, 6)
+        assert decode_bmp(resized).shape == (6, 8, 3)
+
+
+# --------------------------------------------------------------------------
+# Generative fuzz: mutations of valid payloads must decode correctly or
+# raise MediaFormatError — never any other exception, hang, or OOM
+# --------------------------------------------------------------------------
+
+class TestMutationFuzz:
+    def _seeds(self):
+        from geocode_spark.functions.media import encode_jpeg
+
+        rng = np.random.default_rng(99)
+        img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
+        pcm = rng.integers(-3000, 3000, (800, 2)).astype(np.int16)
+        return [encode_png(img), encode_bmp(img),
+                encode_wav(pcm, 16000),
+                encode_jpeg(np.repeat(np.repeat(
+                    rng.integers(0, 256, (2, 3), dtype=np.uint8),
+                    8, 0), 8, 1))]
+
+    def test_mutations_never_escape_taxonomy(self):
+        from geocode_spark.functions.media import decode_image, decode_wav
+
+        rng = np.random.default_rng(7)
+        seeds = self._seeds()
+        n_raised = 0
+        for seed in seeds:
+            for _ in range(120):
+                b = bytearray(seed)
+                op = rng.integers(0, 3)
+                if op == 0:  # truncate
+                    b = b[:rng.integers(1, len(b) + 1)]
+                elif op == 1:  # flip one byte
+                    b[rng.integers(0, len(b))] = int(rng.integers(0, 256))
+                else:  # splice a random window
+                    i = int(rng.integers(0, len(b)))
+                    j = int(rng.integers(i, min(i + 40, len(b)) + 1))
+                    b[i:j] = bytes(rng.integers(0, 256, j - i, dtype=np.uint8))
+                payload = bytes(b)
+                # the strict decode paths: only MediaFormatError may escape
+                for fn in (decode_image, decode_wav,
+                           lambda p: decode_media_meta(p, strict=True)):
+                    try:
+                        fn(payload)
+                    except MediaFormatError:
+                        n_raised += 1
+                # the lenient paths must never raise at all
+                decode_media_meta(payload)
+                media_features(payload)
+        assert n_raised > 100  # the fuzz actually exercised failures
+
+    def test_nested_truncation_sweep(self):
+        """Every prefix length of each seed: decode or MediaFormatError."""
+        seeds = self._seeds()
+        for seed in seeds:
+            step = max(len(seed) // 64, 1)
+            for cut in range(1, len(seed), step):
+                try:
+                    decode_media_meta(seed[:cut], strict=True)
+                except MediaFormatError:
+                    pass
