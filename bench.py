@@ -254,6 +254,10 @@ def main():
                  .select(F.col("id").alias("id_a"),
                          (F.col("id") + 1).alias("id_b"))
                  .repartition(CPUS * 2))
+        # convergence_check_every=1 (default) measured best here at BOTH
+        # core counts: batching rounds (k=2/3) saves driver latency but
+        # pays extra post-fixpoint shuffle rounds, a bad trade on this
+        # ~5-round chain workload (probe: 26.4s vs 29.4s at 2 cores)
         return dup_clusters(nodes, pairs, max_iters=12).count()
 
     # ---- lineage no-op resume: recovery latency, not throughput --------
@@ -382,10 +386,13 @@ def main():
     queries["dup_clusters"], _ = bench(lambda: run_dup_clusters(N_CLUSTER))
     queries["lineage_resume"], _ = bench(run_lineage_resume)
     # stream_drain's value comes from progress telemetry, not wall time —
-    # min over repeats, same noise-robust statistic as bench()
+    # best run by per-row throughput, kept as a (time, rows) PAIR so the
+    # reported docs/sec is a ratio one actual run produced (min(t) with an
+    # independently-chosen max(rows) could mix runs that batched
+    # differently)
     drain_runs = [run_stream_drain() for _ in range(REPEATS)]
-    queries["stream_drain"] = min(t for t, _ in drain_runs)
-    stream_rows_metered = max(r for _, r in drain_runs)
+    best_drain = min(drain_runs, key=lambda tr: tr[0] / tr[1])
+    queries["stream_drain"], stream_rows_metered = best_drain
     queries["stream_startup"], _ = bench(run_stream_startup)
     shutil.rmtree(lineage_out, ignore_errors=True)
     if stream_src_tmp:

@@ -529,6 +529,8 @@ def _entropy_segments(data: bytes, pos: int) -> list:
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            i += 1  # T.81 B.1.1.2: 0xFF fill bytes may pad before a marker
         elif nxt is not None and 0xD0 <= nxt <= 0xD7:
             segs.append(bytes(cur))
             cur = bytearray()
@@ -614,8 +616,10 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             for c in range(ns):
                 cs, tt = struct.unpack_from(">BB", body, 1 + 2 * c)
                 sel[cs] = (tt >> 4, tt & 15)
-            ss, se, _ = struct.unpack_from(">BBB", body, 1 + 2 * ns)
-            if ss != 0 or se != 63:
+            ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
+            if ss != 0 or se != 63 or ahal != 0:
+                # Ah/Al != 0 is successive-approximation semantics; decoding
+                # it as plain baseline would produce silently wrong pixels
                 raise MediaFormatError("non-baseline spectral selection")
             scan = sel
             scan_pos = after
@@ -877,8 +881,7 @@ def encode_jpeg(y: np.ndarray, cb: np.ndarray = None, cr: np.ndarray = None,
     # ---- build Huffman tables from actual frequencies ----
     tables = {}
     for kind in ("dc", "ac"):
-        for tid in {t for k, t, *_ in
-                    [(tok[0], tok[1]) for tok in tokens] if k == kind}:
+        for tid in {tok[1] for tok in tokens if tok[0] == kind}:
             freqs = {}
             for k, t, sym, _, _ in tokens:
                 if k == kind and t == tid:

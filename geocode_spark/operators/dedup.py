@@ -474,7 +474,8 @@ def ngram_jaccard_all_pairs(df: DataFrame, text_col: str = "text",
 
 
 def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                 max_iters: int = 20, strict: bool = True) -> DataFrame:
+                 max_iters: int = 20, strict: bool = True,
+                 convergence_check_every: int = 1) -> DataFrame:
     """Connected components over duplicate pairs: every node gets
     ``cluster_id`` = min id reachable through pair edges (its own id when
     unpaired). The representative-per-cluster is then ``id == cluster_id``.
@@ -511,18 +512,27 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     results, possibly slower plans). Single-query-at-a-time sessions —
     the normal batch deployment — are unaffected; concurrent-query
     drivers should run dup_clusters on its own session
-    (``spark.newSession()`` shares the cluster but isolates conf)."""
+    (``spark.newSession()`` shares the cluster but isolates conf).
+
+    ``convergence_check_every=k`` batches k propagation rounds into ONE
+    Spark action before testing convergence: identical labels (a round at
+    the fixpoint is the identity), up to k-1 rounds of extra work past
+    convergence, but 1/k of the per-action driver latency — worth it when
+    the driver round-trip, not the shuffle, is the per-round floor (small
+    clusters, many cores)."""
     import warnings
 
-    def _round(cur):
-        """One propagation round -> (new checkpointed labels, n changed).
+    if convergence_check_every < 1:
+        raise ValueError("convergence_check_every must be >= 1")
 
-        Exactly ONE Spark action per round: the new labels carry the prior
-        label alongside, the checkpoint is lazy, and the changed-count
-        filter both materializes it and counts in the same job — the
-        two-action version (eager checkpoint, then a separate
-        new-vs-old join) paid an extra full join + scheduling wave per
-        round, pure serial time that capped scaling efficiency."""
+    def _propagate(cur):
+        """One lazy propagation round: cur(src, label) ->
+        new(src, label, prev), checkpoint deferred to the next action.
+
+        The changed-count filter later materializes the batched rounds in
+        the same job — an eager checkpoint + separate new-vs-old count
+        per round paid an extra scheduling wave each, pure serial time
+        that capped scaling efficiency."""
         # pointer doubling WITHOUT its own join: the label-edge
         # (src=label(v), dst=v) makes v receive label(label(v)) through
         # the same neighbor aggregation that delivers real-neighbor
@@ -541,6 +551,14 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                                F.coalesce("nbr_label", "prev"))
                        .alias("label"),
                        "prev")).localCheckpoint(eager=False)
+        return new
+
+    def _round(cur, k):
+        """k batched propagation rounds, then one changed-count action
+        (counts the LAST round's changes — 0 there means fixpoint)."""
+        new = _propagate(cur)
+        for _ in range(k - 1):
+            new = _propagate(new.select("src", "label"))
         n = new.filter(F.col("label") != F.col("prev")).count()
         return new.select("src", "label"), n
 
@@ -570,8 +588,11 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                               F.col(id_col).alias("label")) \
             .repartition("src").localCheckpoint(eager=True)
         changed = 0
-        for _ in range(max_iters):
-            labels, changed = _round(labels)
+        rounds_left = max_iters
+        while rounds_left > 0:
+            k = min(convergence_check_every, rounds_left)
+            labels, changed = _round(labels, k)
+            rounds_left -= k
             if changed == 0:
                 break
         if changed != 0:
@@ -580,7 +601,7 @@ def dup_clusters(nodes: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             # KEEP that round's labels either way (they are one round
             # closer to the fixpoint; discarding computed work would hand
             # back worse labels)
-            labels, would_change = _round(labels)
+            labels, would_change = _round(labels, 1)
             if would_change != 0:
                 msg = (f"dup_clusters did not converge in {max_iters} "
                        f"rounds ({would_change} labels still changing): "
@@ -627,6 +648,11 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         branch. Callers that know they are at scale should still pass
         ``method="bucketed"`` explicitly and skip even the bounded probe.
     """
+    if hamming_probes not in (0, 1, 2):
+        # validate up front for EVERY method: auto-exact silently ignoring
+        # a bad value would surface the error only when the corpus grows
+        # past max_exact_rows, i.e. mid-pipeline at scale
+        raise ValueError("hamming_probes supports 0, 1 or 2")
     if method == "auto":
         probed = emb.limit(max_exact_rows + 1).count()
         method = "exact" if probed <= max_exact_rows else "bucketed"
@@ -674,8 +700,6 @@ def embedding_cosine_pairs(emb: DataFrame, id_col: str = "vec_id",
         sk = lsh_buckets(norm.filter(F.col("nv").isNotNull()),
                          dim=dim, bits=bits, vec_col="nv", seed=seed,
                          out_col="__bkt")
-        if hamming_probes not in (0, 1, 2):
-            raise ValueError("hamming_probes supports 0, 1 or 2")
         a_src = sk
         if hamming_probes and bits:
             flips = [F.col("__bkt")] + [

@@ -228,6 +228,10 @@ def _broadcast_prep(sc, prep: "PreparedRegions"):
     # which the insert below detects and unpersists
     b_cover = sc.broadcast(prep.cover)
     b_geoms = sc.broadcast(prep.geoms)
+    # size the entry OUTSIDE the lock too: memory_usage(deep=True) walks
+    # every object in the cover map — seconds on GB-scale preps, which
+    # would stall every other thread's cache-hit fast path
+    nbytes = _prep_nbytes(prep)
     stale = []
     with _BCAST_LOCK:
         hit = _BCAST_CACHE.get(key)
@@ -235,7 +239,7 @@ def _broadcast_prep(sc, prep: "PreparedRegions"):
             stale = [b_cover, b_geoms]  # lost the race: keep the winner
             b_cover, b_geoms = hit[2], hit[3]
         else:
-            _BCAST_CACHE[key] = (sc, prep, b_cover, b_geoms, _prep_nbytes(prep))
+            _BCAST_CACHE[key] = (sc, prep, b_cover, b_geoms, nbytes)
             while len(_BCAST_CACHE) > 1 and (
                     len(_BCAST_CACHE) > _BCAST_CACHE_SIZE
                     or sum(e[4] for e in _BCAST_CACHE.values())

@@ -61,7 +61,10 @@ SCALING_SIZES = {
     "BENCH_DOCS": "2400000",
     "BENCH_MINHASH": "160000",
     "BENCH_CLUSTER_NODES": "1600000",
-    "BENCH_STREAM_DOCS": "3200000",
+    # 6.4M stream docs -> 1.6M-row micro-batches: the measured per-batch
+    # fixed cost (~0.4 s of job scheduling + state commit, constant across
+    # core counts) stays ~10% of batch time at 8 cores instead of ~30%
+    "BENCH_STREAM_DOCS": "6400000",
 }
 
 GATE = float(os.environ.get("SPARK_SCALING_GATE", "0.95"))
@@ -200,6 +203,9 @@ def main():
         trials.append((eff, ceil, r, status == "valid"))
         print(f"# attempt {len(attempts)}: pre {pre:.3f} post {post:.3f} "
               f"eff {eff:.3f} -> {status}", file=sys.stderr)
+        per = {q: round(r[lo]["queries"][q] / r[hi]["queries"][q] / factor, 3)
+               for q in r[lo]["queries"] if q not in LATENCY_QUERIES}
+        print(f"#   per-query eff: {per}", file=sys.stderr)
         return status
 
     while True:
@@ -330,7 +336,9 @@ def main():
         "stream_drain is the steady-state micro-batch drain time (sum of "
         "triggerExecution over batches 1..K-1 of a "
         f"{int(env.get('BENCH_STREAM_DOCS', 0)):,}-doc / "
-        "64-file / 4-batch availableNow run, identical pre-built input "
+        f"{env.get('BENCH_STREAM_FILES', '64')}-file / "
+        f"{env.get('BENCH_STREAM_BATCHES', '4')}-batch availableNow run, "
+        "identical pre-built input "
         "files at both levels) — query start/stop and batch-0 state-store "
         "init are excluded by measurement and reported as latency below. "
         "Round 4's wall-clock drain measured those fixed costs instead "
@@ -383,6 +391,10 @@ def main():
     ]
     (bench_dir / "BASELINE.md").write_text("\n".join(lines) + "\n")
     print(json.dumps(summary))
+    if stream_tmp:
+        import shutil
+
+        shutil.rmtree(stream_tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -579,3 +579,36 @@ class TestMutationFuzz:
                     decode_media_meta(seed[:cut], strict=True)
                 except MediaFormatError:
                     pass
+
+    def test_fill_bytes_before_restart_marker(self):
+        """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        marker, including RSTn inside entropy data (code-review round 5:
+        the segmenter used to treat FF FF as scan termination)."""
+        from geocode_spark.functions.media import (_entropy_segments,
+                                                   decode_jpeg, encode_jpeg)
+
+        assert _entropy_segments(b"\x12\xff\xff\xd0\x34\xff\xd9", 0) == \
+            [b"\x12", b"\x34"]
+        rng = np.random.default_rng(21)
+        tiles = rng.integers(0, 256, (2, 6), dtype=np.uint8)
+        y = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+        data = encode_jpeg(y, restart_interval=3)
+        for i in range(8):
+            m = bytes([0xFF, 0xD0 + i])
+            if m in data:
+                data = data.replace(m, b"\xff" + m, 1)  # inject a fill byte
+                break
+        assert np.array_equal(decode_jpeg(data)[:, :, 0], y)
+
+    def test_successive_approximation_rejected(self):
+        from geocode_spark.functions.media import decode_jpeg
+
+        dht = _dht(0, 0, [1] + [0] * 15, [5]) + _dht(1, 0, [1] + [0] * 15, [0])
+        data = (b"\xff\xd8" + _seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+                + _seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xC4, dht)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0x21]))  # Ah/Al != 0
+                + bytes([0b01000001]) + b"\xff\xd9")
+        with pytest.raises(MediaFormatError, match="baseline|spectral"):
+            decode_jpeg(data)
