@@ -69,7 +69,11 @@ N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
 N_KNN = int(os.environ.get("BENCH_KNN_POINTS", "200000"))
 N_CLUSTER = int(os.environ.get("BENCH_CLUSTER_NODES", "400000"))
-N_STREAM = int(os.environ.get("BENCH_STREAM_DOCS", str(4 * N_DOCS)))
+# default 16x the pipeline corpus -> 800k-row micro-batches at the default
+# sizes: the ~0.4 s per-batch fixed cost (job scheduling + state commit)
+# must stay a small fraction of batch time for the steady-state number to
+# measure throughput, and at 32 cores small batches are all fixed cost
+N_STREAM = int(os.environ.get("BENCH_STREAM_DOCS", str(16 * N_DOCS)))
 # fixed file layout: every micro-batch gets STREAM_FILES/STREAM_BATCHES
 # splits, so the drain's map side parallelizes at any core count <= 16
 STREAM_FILES = int(os.environ.get("BENCH_STREAM_FILES", "64"))
