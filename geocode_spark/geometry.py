@@ -42,31 +42,159 @@ def _ring_edges(xs, ys, ring_offsets):
             np.concatenate(x2s), np.concatenate(y2s))
 
 
-def points_in_polygon(px, py, xs, ys, ring_offsets, chunk: int = 4096) -> np.ndarray:
-    """Even-odd ray-cast: bool mask of points inside the polygon.
+# Below this edge count the dense all-edges broadcast is faster than the
+# y-bucketed ragged gather (measured crossover ~100-200 edges; gather index
+# arithmetic dominates when buckets hold most of the table anyway).
+_DENSE_EDGE_MAX = 160
 
-    Broadcast is (points x edges); chunked over points to bound memory.
+
+class PreparedPolygon:
+    """Edge-decomposed polygon: built once, probed many times.
+
+    Holds the closed-ring edge arrays (so ``_ring_edges`` runs once per
+    polygon instead of once per kernel call) plus a scanline y-bucket
+    table for the ray-cast: an edge can only contribute a crossing to a
+    point whose y lies inside the edge's y-span, so each point need test
+    only the edges whose span intersects its bucket. Bucket membership is
+    OVER-inclusive (an edge is listed in every bucket its y-span touches),
+    which keeps the result bit-identical to the all-edges test — skipped
+    elements are exactly those whose straddle condition is False (floor
+    and IEEE subtract/divide are monotone, so span containment implies
+    same-or-adjacent-covered bucket). ~E/n_buckets edges per probe instead
+    of E: one order of magnitude less arithmetic and memory traffic on
+    realistic (hundreds-of-vertices) boundaries.
+    """
+
+    __slots__ = ("x1", "y1", "x2", "y2", "dx", "dy", "elen2",
+                 "by0", "bh", "nb", "boffs", "bx1", "by1", "by2",
+                 "bdx", "bdy")
+
+    def __init__(self, xs, ys, ring_offsets):
+        x1, y1, x2, y2 = _ring_edges(np.asarray(xs, float),
+                                     np.asarray(ys, float),
+                                     np.asarray(ring_offsets, int))
+        self.x1, self.y1, self.x2, self.y2 = x1, y1, x2, y2
+        self.dx = x2 - x1
+        self.dy = y2 - y1
+        el2 = self.dx * self.dx + self.dy * self.dy
+        self.elen2 = np.where(el2 == 0.0, 1.0, el2)
+        n_edges = x1.size
+        if n_edges == 0:
+            self.nb = 0
+            return
+        ymin_e = np.minimum(y1, y2)
+        ymax_e = np.maximum(y1, y2)
+        gy0 = float(ymin_e.min())
+        gy1 = float(ymax_e.max())
+        nb = max(1, min(128, n_edges // 8))
+        if gy1 <= gy0:
+            nb = 1
+        self.by0 = gy0
+        self.bh = (gy1 - gy0) / nb if gy1 > gy0 else 1.0
+        self.nb = nb
+        lo = np.clip(((ymin_e - gy0) / self.bh).astype(np.int64), 0, nb - 1)
+        hi = np.clip(((ymax_e - gy0) / self.bh).astype(np.int64), 0, nb - 1)
+        cnt = hi - lo + 1
+        tot = int(cnt.sum())
+        eidx = np.repeat(np.arange(n_edges), cnt)
+        binb = np.repeat(lo, cnt) + (
+            np.arange(tot) - np.repeat(
+                np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt))
+        order = np.argsort(binb, kind="stable")
+        binb = binb[order]
+        eidx = eidx[order]
+        self.boffs = np.searchsorted(binb, np.arange(nb + 1)).astype(np.int64)
+        # bucket-local contiguous edge copies: each probe streams a small
+        # dense block instead of gathering strided rows of the full table
+        self.bx1 = x1[eidx]
+        self.by1 = y1[eidx]
+        self.by2 = y2[eidx]
+        self.bdx = self.dx[eidx]
+        self.bdy = self.dy[eidx]
+
+
+def points_in_polygon_prepared(px, py, pp: PreparedPolygon,
+                               chunk: int = 65536) -> np.ndarray:
+    """Even-odd ray-cast against a :class:`PreparedPolygon` (y-bucketed).
+
+    Bit-identical to :func:`points_in_polygon`: per retained (point, edge)
+    element the straddle test and intersection abscissa use the same
+    expression tree (sub / div / mul / add, then strict compares), and the
+    elements the bucket table skips are provably non-straddling.
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    x1, y1, x2, y2 = _ring_edges(np.asarray(xs, float), np.asarray(ys, float),
-                                 np.asarray(ring_offsets, int))
-    out = np.zeros(px.shape[0], dtype=bool)
-    if x1.size == 0:
+    n = px.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if getattr(pp, "nb", 0) == 0 or n == 0:
         return out
-    for s in range(0, px.shape[0], chunk):
-        e = min(s + chunk, px.shape[0])
-        pxx = px[s:e, None]
-        pyy = py[s:e, None]
-        # edge straddles the horizontal ray through pyy
-        cond = (y1[None, :] > pyy) != (y2[None, :] > pyy)
+    if pp.x1.size <= _DENSE_EDGE_MAX:
+        # Few edges: the dense (points x all-edges) broadcast beats the
+        # ragged-gather machinery — the gather indices would cost more than
+        # the skipped arithmetic saves. Identical expression tree over a
+        # superset of elements (non-straddling edges are masked by the
+        # straddle condition), so the result is the same bit pattern.
+        # product cap 2^18 elements: keeps each (points x edges) temporary
+        # ~2 MB, inside per-core cache (measured 2x faster than 2^21)
+        dchunk = max(1, (1 << 18) // pp.x1.size)
+        x1 = pp.x1[None, :]
+        y1 = pp.y1[None, :]
+        y2 = pp.y2[None, :]
+        dx = pp.dx[None, :]
+        dy = pp.dy[None, :]
+        for s in range(0, n, dchunk):
+            e = min(s + dchunk, n)
+            pxx = px[s:e, None]
+            pyy = py[s:e, None]
+            cond = (y1 > pyy) != (y2 > pyy)
+            t = pyy - y1
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t /= dy
+            t *= dx
+            t += x1
+            crossings = (cond & (pxx < t)).sum(axis=1)
+            out[s:e] = (crossings % 2) == 1
+        return out
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        pxc = px[s:e]
+        pyc = py[s:e]
+        ib = np.clip(((pyc - pp.by0) / pp.bh).astype(np.int64), 0, pp.nb - 1)
+        bs = pp.boffs[ib]
+        cnt = pp.boffs[ib + 1] - bs
+        tot = int(cnt.sum())
+        if tot == 0:
+            continue
+        slot = np.repeat(bs - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt) \
+            + np.arange(tot, dtype=np.int64)
+        pr = np.repeat(np.arange(e - s), cnt)
+        y1 = pp.by1[slot]
+        y2 = pp.by2[slot]
+        pyy = pyc[pr]
+        c1 = y1 > pyy
+        c2 = y2 > pyy
+        np.not_equal(c1, c2, out=c1)           # edge straddles the ray
+        t = pyy - y1
         with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1[None, :] + (pyy - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
-                x2[None, :] - x1[None, :]
-            )
-        crossings = (cond & (pxx < xint)).sum(axis=1)
+            t /= pp.bdy[slot]
+        t *= pp.bdx[slot]
+        t += pp.bx1[slot]                      # xint, same rounding as below
+        np.less(pxc[pr], t, out=c2)
+        c2 &= c1
+        crossings = np.bincount(pr[c2], minlength=e - s)
         out[s:e] = (crossings % 2) == 1
     return out
+
+
+def points_in_polygon(px, py, xs, ys, ring_offsets, chunk: int = 4096) -> np.ndarray:
+    """Even-odd ray-cast: bool mask of points inside the polygon.
+
+    One-shot convenience over :func:`points_in_polygon_prepared` — callers
+    that probe the same polygon repeatedly should build the
+    :class:`PreparedPolygon` once and reuse it.
+    """
+    return points_in_polygon_prepared(px, py,
+                                      PreparedPolygon(xs, ys, ring_offsets))
 
 
 def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,
@@ -79,20 +207,26 @@ def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,
     projection, so the clamped foot-point is the true nearest point of the
     scaled space; the result is multiplied by METERS_PER_DEG.
     """
+    return _dist_kernel_prepared(px, py, PreparedPolygon(xs, ys, ring_offsets),
+                                 chunk, metric)
+
+
+def _dist_kernel_prepared(px, py, pp: PreparedPolygon, chunk: int,
+                          metric: bool) -> np.ndarray:
+    """:func:`_dist_kernel` against a prebuilt :class:`PreparedPolygon`
+    (identical arithmetic; the edge decomposition is just reused)."""
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
-    x1, y1, x2, y2 = _ring_edges(np.asarray(xs, float), np.asarray(ys, float),
-                                 np.asarray(ring_offsets, int))
+    x1, y1 = pp.x1, pp.y1
     out = np.full(px.shape[0], np.inf)
     if x1.size == 0:
         return out
-    ex = x2 - x1
-    ey = y2 - y1
+    ex = pp.dx
+    ey = pp.dy
     if not metric:
         # planar fast path: edge geometry is point-independent, so edge
         # vectors and squared lengths are 1-D and computed ONCE
-        elen2 = ex * ex + ey * ey
-        elen2 = np.where(elen2 == 0.0, 1.0, elen2)
+        elen2 = pp.elen2
     for s in range(0, px.shape[0], chunk):
         e = min(s + chunk, px.shape[0])
         dys = py[s:e, None] - y1[None, :]
@@ -113,9 +247,22 @@ def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,
         qy = dys - t * ey[None, :]
         d = np.sqrt((qx * qx + qy * qy).min(axis=1))
         out[s:e] = d * METERS_PER_DEG if metric else d
-    inside = points_in_polygon(px, py, xs, ys, ring_offsets)
+    inside = points_in_polygon_prepared(px, py, pp)
     out[inside] = 0.0
     return out
+
+
+def dist_to_polygon_prepared(px, py, pp: PreparedPolygon,
+                             chunk: int = 2048) -> np.ndarray:
+    """:func:`dist_to_polygon` against a prebuilt :class:`PreparedPolygon`."""
+    return _dist_kernel_prepared(px, py, pp, chunk, metric=False)
+
+
+def dist_to_polygon_m_prepared(px, py, pp: PreparedPolygon,
+                               chunk: int = 2048) -> np.ndarray:
+    """:func:`dist_to_polygon_m` against a prebuilt
+    :class:`PreparedPolygon`."""
+    return _dist_kernel_prepared(px, py, pp, chunk, metric=True)
 
 
 def dist_to_polygon(px, py, xs, ys, ring_offsets, chunk: int = 2048) -> np.ndarray:

@@ -42,61 +42,196 @@ from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
                                StructType)
 
 from ..cells import cell_of, cell_to_ij, cell_from_ij
-from ..geometry import (METERS_PER_DEG, dist_to_polygon, dist_to_polygon_m,
-                        points_in_polygon)
+from ..geometry import (METERS_PER_DEG, PreparedPolygon,
+                        dist_to_polygon_m_prepared, dist_to_polygon_prepared,
+                        points_in_polygon_prepared)
 from ..regions import PreparedRegions
 
 
-def _candidate_probe(pdf: pd.DataFrame, cover: pd.DataFrame, res: int,
-                     lat_col: str, lon_col: str) -> pd.DataFrame:
-    """Cell-encode points and inner-join vs the cover map (pandas-side
-    broadcast hash join). Returns candidate rows with a __pos pointer back
-    into pdf."""
-    lat = pdf[lat_col].to_numpy(dtype=np.float64)
-    lon = pdf[lon_col].to_numpy(dtype=np.float64)
-    valid = np.isfinite(lat) & np.isfinite(lon)
-    pos = np.arange(len(pdf), dtype=np.int64)[valid]
-    cells = cell_of(lat[valid], lon[valid], res)
-    probe = pd.DataFrame({
-        "__pos": pos,
-        "cell": cells,
-        "__x": lon[valid],
-        "__y": lat[valid],
-    })
-    return probe.merge(cover, on="cell", how="inner")
+class _CoverIndex:
+    """Executor-side probe structure over one broadcast (cover, geoms) pair,
+    built ONCE per python worker and reused across every Arrow batch.
+
+    The previous per-batch ``pandas.merge`` against the cover DataFrame
+    re-factorized the FULL cover map for every ~10k-row batch (work and
+    memory traffic proportional to |cover|, not |batch|) and materialized
+    object-dtype candidate frames. This index pays one sort at build time,
+    then probes are ``searchsorted`` + ragged gathers over int arrays:
+    per-batch work proportional to the batch, no per-batch pandas objects,
+    and region geometry is edge-decomposed once (PreparedPolygon y-bucket
+    tables) instead of per call.
+
+    Everything is derived from the broadcast values, so the index is pure
+    cache: same candidates, same keep-first ordering, same kernels.
+    """
+
+    __slots__ = ("cover", "geoms", "cells", "starts", "cand_rid", "cand_seq",
+                 "cand_interior", "rids", "bbox", "_pp", "_knn")
+
+    def __init__(self, cover: pd.DataFrame, geoms: dict):
+        self.cover = cover    # strong refs pin the id()-based cache key
+        self.geoms = geoms
+        if cover is None or len(cover) == 0:
+            z = np.empty(0, np.int64)
+            self.cells = z
+            self.starts = np.zeros(1, np.int64)
+            self.cand_rid = z
+            self.cand_seq = z
+            self.cand_interior = np.empty(0, bool)
+            self.rids = np.empty(0, object)
+        else:
+            cells = cover["cell"].to_numpy(np.int64)
+            codes, rids = pd.factorize(cover["region_id"])
+            self.rids = np.asarray(rids, dtype=object)
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            first = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+            self.cells = sc[first]
+            self.starts = np.r_[first, len(sc)].astype(np.int64)
+            self.cand_rid = np.asarray(codes, np.int64)[order]
+            self.cand_seq = cover["region_seq"].to_numpy(np.int64)[order]
+            self.cand_interior = cover["interior"].to_numpy(bool)[order]
+        self.bbox = [geoms[r][3] for r in self.rids]
+        self._pp: list = [None] * len(self.rids)  # lazy PreparedPolygon
+        self._knn = None
+
+    def prepared(self, r: int) -> PreparedPolygon:
+        pp = self._pp[r]
+        if pp is None:
+            xs, ys, offs, _bbox = self.geoms[self.rids[r]]
+            pp = self._pp[r] = PreparedPolygon(xs, ys, offs)
+        return pp
+
+    def lookup(self, pcells: np.ndarray):
+        """cells -> (pt, slot): pt indexes the probe arrays, slot the
+        candidate arrays (one row per matching cover entry)."""
+        if len(self.cells) == 0 or len(pcells) == 0:
+            z = np.empty(0, np.int64)
+            return z, z
+        loc = np.searchsorted(self.cells, pcells)
+        np.minimum(loc, len(self.cells) - 1, out=loc)
+        h = np.flatnonzero(self.cells[loc] == pcells)
+        s = self.starts[loc[h]]
+        cnt = self.starts[loc[h] + 1] - s
+        tot = int(cnt.sum())
+        if tot == 0:
+            z = np.empty(0, np.int64)
+            return z, z
+        slot = np.repeat(s - np.r_[np.int64(0), np.cumsum(cnt)[:-1]], cnt) \
+            + np.arange(tot, dtype=np.int64)
+        return np.repeat(h, cnt), slot
+
+    def knn_table(self):
+        """Deduplicated (cell -> region) table for the ring expansion,
+        cover-row order preserved within each cell (tie parity with the
+        previous merge-based probe)."""
+        if self._knn is None:
+            if self.cover is None or len(self.cover) == 0:
+                z = np.empty(0, np.int64)
+                self._knn = (z, np.zeros(1, np.int64), z)
+            else:
+                small = self.cover[["cell", "region_id"]].drop_duplicates()
+                kcells = small["cell"].to_numpy(np.int64)
+                rmap = {r: i for i, r in enumerate(self.rids)}
+                krid = small["region_id"].map(rmap).to_numpy(np.int64)
+                order = np.argsort(kcells, kind="stable")
+                sc = kcells[order]
+                first = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+                self._knn = (sc[first],
+                             np.r_[first, len(sc)].astype(np.int64),
+                             krid[order])
+        return self._knn
 
 
-def _resolve_pip(cand: pd.DataFrame, geoms: dict) -> pd.DataFrame:
-    """Exact PIP for boundary-cell candidates; interior cells pass through.
-    Returns rows (__pos, region_id, region_seq) that are truly inside."""
-    if cand.empty:
-        return cand[["__pos", "region_id", "region_seq"]]
-    inside = cand["interior"].to_numpy(dtype=bool).copy()
-    boundary = ~inside
-    if boundary.any():
-        bnd = cand[boundary]
-        ok = np.zeros(len(bnd), dtype=bool)
-        # vectorize per region: one ray-cast batch per polygon
-        for rid, grp in bnd.groupby("region_id", sort=False):
-            xs, ys, offs, bbox = geoms[rid]
-            px = grp["__x"].to_numpy()
-            py = grp["__y"].to_numpy()
-            in_bbox = ((px >= bbox[0]) & (px <= bbox[2])
-                       & (py >= bbox[1]) & (py <= bbox[3]))
-            m = np.zeros(len(grp), dtype=bool)
+# Per-worker index cache: (id(cover), id(geoms)) -> _CoverIndex. Strong refs
+# inside the index pin both id()s (no stale-alias risk); python workers are
+# single-threaded per process, so no lock. FIFO-bounded — the index is a few
+# MB (ints parallel to the cover rows + edge tables), entries only turn over
+# when a worker serves many distinct region sets.
+_INDEX_CACHE: OrderedDict = OrderedDict()
+_INDEX_CACHE_SIZE = 4
+
+
+def _get_prepared_geoms(geoms: dict) -> dict:
+    """Per-worker lazy {region_id -> PreparedPolygon} cache for code paths
+    that carry only the geometry broadcast (join strategy). Same FIFO bound
+    and id-pinning discipline as _get_index."""
+    key = ("geoms", id(geoms))
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None and hit[0] is geoms:
+        _INDEX_CACHE.move_to_end(key)
+        return hit[1]
+    entry = (geoms, {})
+    _INDEX_CACHE[key] = entry
+    while len(_INDEX_CACHE) > _INDEX_CACHE_SIZE:
+        _INDEX_CACHE.popitem(last=False)
+    return entry[1]
+
+
+def _get_index(cover: pd.DataFrame, geoms: dict) -> _CoverIndex:
+    key = (id(cover), id(geoms))
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None and hit.cover is cover and hit.geoms is geoms:
+        _INDEX_CACHE.move_to_end(key)
+        return hit
+    idx = _CoverIndex(cover, geoms)
+    _INDEX_CACHE[key] = idx
+    while len(_INDEX_CACHE) > _INDEX_CACHE_SIZE:
+        _INDEX_CACHE.popitem(last=False)
+    return idx
+
+
+def _assign_batch(index: _CoverIndex, lat: np.ndarray, lon: np.ndarray,
+                  res: int) -> np.ndarray:
+    """One batch of finite points -> object array of region ids (None=miss).
+
+    Same pipeline as before, all-numpy: covering-cell probe, interior-cell
+    raster shortcut, bbox prefilter + bucketed ray-cast per region for
+    boundary candidates, keep-first (min region_seq) per point — GeoPandas
+    keep-first parity (utilities.py:268-269)."""
+    rid_out = np.full(len(lat), None, dtype=object)
+    pt, slot = index.lookup(cell_of(lat, lon, res))
+    if len(pt) == 0:
+        return rid_out
+    inside = index.cand_interior[slot].copy()
+    bnd = np.flatnonzero(~inside)
+    if bnd.size:
+        ridb = index.cand_rid[slot[bnd]]
+        px = lon[pt[bnd]]
+        py = lat[pt[bnd]]
+        ok = np.zeros(bnd.size, dtype=bool)
+        order = np.argsort(ridb, kind="stable")
+        rs = ridb[order]
+        gb = np.flatnonzero(np.r_[True, rs[1:] != rs[:-1]])
+        ge = np.r_[gb[1:], len(rs)]
+        for g0, g1 in zip(gb, ge):         # one ray-cast batch per polygon
+            rows = order[g0:g1]
+            r = int(rs[g0])
+            bb = index.bbox[r]
+            pxg = px[rows]
+            pyg = py[rows]
+            in_bbox = ((pxg >= bb[0]) & (pxg <= bb[2])
+                       & (pyg >= bb[1]) & (pyg <= bb[3]))
+            m = np.zeros(rows.size, dtype=bool)
             if in_bbox.any():
-                m[in_bbox] = points_in_polygon(px[in_bbox], py[in_bbox], xs, ys, offs)
-            ok[bnd.index.get_indexer(grp.index)] = m
-        inside[boundary] = ok
-    hit = cand[inside]
-    # keep-first parity: GeoPandas keeps the first region in input order
-    hit = hit.sort_values("region_seq", kind="stable").drop_duplicates(
-        "__pos", keep="first")
-    return hit[["__pos", "region_id", "region_seq"]]
+                m[in_bbox] = points_in_polygon_prepared(
+                    pxg[in_bbox], pyg[in_bbox], index.prepared(r))
+            ok[rows] = m
+        inside[bnd] = ok
+    hit = np.flatnonzero(inside)
+    if hit.size == 0:
+        return rid_out
+    hp = pt[hit]
+    hs = index.cand_seq[slot[hit]]
+    o = np.lexsort((hs, hp))
+    keep = np.r_[True, hp[o][1:] != hp[o][:-1]]
+    sel = hit[o[keep]]
+    rid_out[pt[sel]] = index.rids[index.cand_rid[slot[sel]]]
+    return rid_out
 
 
 def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
-                  prep: PreparedRegions, max_distance: float,
+                  index: _CoverIndex, res: int, max_distance: float,
                   max_k: int | None = None,
                   metric: bool = False) -> pd.DataFrame:
     """Ring-expansion bounded nearest-region (sjoin_nearest semantics,
@@ -108,12 +243,11 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
     BNG-sourced dataset, utilities.py:253-255).
 
     Fully vectorized: each round k expands every unresolved point's
-    neighbour disc at once (broadcasted i/j grids), one hash join against
-    the cover map, then per-region batched exact distances. A point is
-    final once its best distance is provably inside the already-searched
-    radius (no closer region can appear in a later ring)."""
-    cover = prep.cover
-    res = prep.res
+    neighbour disc at once (broadcasted i/j grids), one searchsorted probe
+    against the index's (cell -> region) table, then per-region batched
+    exact distances. A point is final once its best distance is provably
+    inside the already-searched radius (no closer region can appear in a
+    later ring)."""
     n = np.int64(1) << res
     out_rid = np.full(len(miss_pos), None, dtype=object)
     out_dist = np.full(len(miss_pos), np.inf)
@@ -136,8 +270,9 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
         worst = float(ring_scale.min()) if len(miss_pos) else 1.0
         max_k = int(np.ceil(2.0 * max_distance / (cell_deg * worst) + 0.5)) + 1
         max_k = min(max(max_k, 1), 4096)
-    cover_small = cover[["cell", "region_id"]].drop_duplicates()
-    dist_fn = dist_to_polygon_m if metric else dist_to_polygon
+    kcells, kstarts, krid = index.knn_table()
+    n_rids = max(len(index.rids), 1)
+    dist_fn = dist_to_polygon_m_prepared if metric else dist_to_polygon_prepared
     for k in range(1, max_k + 1):
         if len(unresolved) == 0:
             break
@@ -161,17 +296,43 @@ def _knn_fallback(miss_pos: np.ndarray, px: np.ndarray, py: np.ndarray,
         jj = np.clip(cj[unresolved, None] + dij[None, :, 1], 0, n - 1)
         u_rep = np.broadcast_to(unresolved[:, None], ii.shape).ravel()
         ring_cells = cell_from_ij(ii.ravel(), jj.ravel(), res)
-        probe = pd.DataFrame({"u": u_rep, "cell": ring_cells}).drop_duplicates()
-        cand = probe.merge(cover_small, on="cell")[["u", "region_id"]] \
-                    .drop_duplicates()
-        for rid, grp in cand.groupby("region_id", sort=False):
-            xs, ys, offs, bbox = prep.geoms[rid]
-            uu = grp["u"].to_numpy()
-            d = dist_fn(px[uu], py[uu], xs, ys, offs)
-            better = d < out_dist[uu]
-            upd = uu[better]
-            out_dist[upd] = d[better]
-            out_rid[upd] = rid
+        if len(kcells) == 0:
+            break
+        loc = np.searchsorted(kcells, ring_cells)
+        np.minimum(loc, len(kcells) - 1, out=loc)
+        h = np.flatnonzero(kcells[loc] == ring_cells)
+        if h.size:
+            s = kstarts[loc[h]]
+            cnt = kstarts[loc[h] + 1] - s
+            tot = int(cnt.sum())
+            kslot = np.repeat(s - np.r_[np.int64(0), np.cumsum(cnt)[:-1]],
+                              cnt) + np.arange(tot, dtype=np.int64)
+            pu = np.repeat(u_rep[h], cnt)
+            prid = krid[kslot]
+            # dedup (point, region) keep-first; then visit regions in
+            # first-appearance order — equal-distance ties resolve exactly
+            # as the previous pandas groupby(sort=False) iteration did
+            key = pu * n_rids + prid
+            _, fidx = np.unique(key, return_index=True)
+            fidx.sort()
+            pu = pu[fidx]
+            prid = prid[fidx]
+            urf, rfirst = np.unique(prid, return_index=True)
+            rank = np.empty(n_rids, np.int64)
+            rank[urf[np.argsort(rfirst)]] = np.arange(len(urf))
+            order = np.argsort(rank[prid], kind="stable")
+            ps = prid[order]
+            gb = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+            ge = np.r_[gb[1:], len(ps)]
+            for g0, g1 in zip(gb, ge):
+                rows = order[g0:g1]
+                r = int(ps[g0])
+                uu = pu[rows]
+                d = dist_fn(px[uu], py[uu], index.prepared(r))
+                better = d < out_dist[uu]
+                upd = uu[better]
+                out_dist[upd] = d[better]
+                out_rid[upd] = index.rids[r]
         safe_radius = (k - 0.5) * cell_deg * 0.5 * ring_scale[unresolved]
         done = (out_dist[unresolved]
                 <= np.minimum(max_distance, safe_radius))
@@ -326,29 +487,25 @@ def reverse_geocode(
         out_schema = StructType(out_fields)
         in_cols = [f.name for f in keep_fields]
 
-        meta = (prep.name, prep.res, prep.crs)
-
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            cover = b_cover.value
-            geoms = b_geoms.value
-            prep_local = PreparedRegions(name=meta[0], res=meta[1], crs=meta[2],
-                                         geoms=geoms, cover=cover)
+            index = _get_index(b_cover.value, b_geoms.value)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                cand = _candidate_probe(pdf, cover, res, lat_col, lon_col)
-                hit = _resolve_pip(cand, geoms)
-                rid = np.full(len(pdf), None, dtype=object)
-                rid[hit["__pos"].to_numpy()] = hit["region_id"].to_numpy()
                 lat_all = pdf[lat_col].to_numpy(np.float64)
                 lon_all = pdf[lon_col].to_numpy(np.float64)
                 finite = np.isfinite(lat_all) & np.isfinite(lon_all)
+                rid = np.full(len(pdf), None, dtype=object)
+                vpos = np.flatnonzero(finite)
+                if vpos.size:
+                    rid[vpos] = _assign_batch(index, lat_all[vpos],
+                                              lon_all[vpos], res)
                 kdist = np.full(len(pdf), np.nan)
                 if max_distance is not None:
                     miss = np.flatnonzero(pd.isna(rid) & finite)
                     if len(miss):
                         near = _knn_fallback(miss, lon_all[miss], lat_all[miss],
-                                             prep_local, max_distance,
+                                             index, res, max_distance,
                                              metric=metric)
                         npos = near["__pos"].to_numpy()
                         rid[npos] = near["region_id"].to_numpy()
@@ -398,8 +555,8 @@ def reverse_geocode_multi(
     reverse_geocode calls: k mapInPandas stages, the points crossing the
     JVM/Python boundary and re-decoding coordinates k times) and one: a
     single Python stage reuses the decoded coordinate arrays for every
-    lookup. Same per-lookup kernels (_candidate_probe / _resolve_pip /
-    _knn_fallback), so assignments match the chained form exactly.
+    lookup. Same per-lookup kernels (_assign_batch / _knn_fallback over the
+    shared _CoverIndex), so assignments match the chained form exactly.
 
     ``keep_cell`` adds one ``cell_id`` column at the FIRST assignment's
     resolution (the chained equivalent of keep_cell on the first call)."""
@@ -439,22 +596,20 @@ def reverse_geocode_multi(
             lat_all = pdf[lat_col].to_numpy(np.float64)
             lon_all = pdf[lon_col].to_numpy(np.float64)
             finite = np.isfinite(lat_all) & np.isfinite(lon_all)
+            vpos = np.flatnonzero(finite)
             for (b_cover, b_geoms, res, (name, crs), out_col, max_d,
                  metric) in specs:
-                cover, geoms = b_cover.value, b_geoms.value
-                cand = _candidate_probe(pdf, cover, res, lat_col, lon_col)
-                hit = _resolve_pip(cand, geoms)
+                index = _get_index(b_cover.value, b_geoms.value)
                 rid = np.full(len(pdf), None, dtype=object)
-                rid[hit["__pos"].to_numpy()] = hit["region_id"].to_numpy()
+                if vpos.size:
+                    rid[vpos] = _assign_batch(index, lat_all[vpos],
+                                              lon_all[vpos], res)
                 if max_d is not None:
                     miss = np.flatnonzero(pd.isna(rid) & finite)
                     if len(miss):
-                        prep_local = PreparedRegions(
-                            name=name, res=res, crs=crs,
-                            geoms=geoms, cover=cover)
                         near = _knn_fallback(
                             miss, lon_all[miss], lat_all[miss],
-                            prep_local, max_d, metric=metric)
+                            index, res, max_d, metric=metric)
                         rid[near["__pos"].to_numpy()] = \
                             near["region_id"].to_numpy()
                 out[out_col] = rid
@@ -529,6 +684,7 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
 
     def pip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         geoms = b_geoms.value
+        pps = _get_prepared_geoms(geoms)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -543,11 +699,14 @@ def _reverse_geocode_join(points, prep, lat_col, lon_col, out_col, keep_cell):
                 b = sub[bnd]
                 okk = np.zeros(len(b), dtype=bool)
                 for rid, grp in b.groupby("region_id", sort=False):
-                    xs, ys, offs, bbox = geoms[rid]
+                    pp = pps.get(rid)
+                    if pp is None:
+                        xs, ys, offs, _bbox = geoms[rid]
+                        pp = pps[rid] = PreparedPolygon(xs, ys, offs)
                     px = grp[lon_col].to_numpy(np.float64)
                     py = grp[lat_col].to_numpy(np.float64)
-                    okk[b.index.get_indexer(grp.index)] = points_in_polygon(
-                        px, py, xs, ys, offs)
+                    okk[b.index.get_indexer(grp.index)] = \
+                        points_in_polygon_prepared(px, py, pp)
                 keep[bnd] = okk
             inside = sub[keep]
             yield pd.DataFrame({

@@ -168,3 +168,82 @@ class TestDupClustersBatchedRounds:
             assert got == base
         with pytest.raises(ValueError, match="convergence_check_every"):
             dup_clusters(nodes, pairs, convergence_check_every=0)
+
+
+class TestPreparedPolygonParity:
+    """The y-bucketed PreparedPolygon ray-cast must be BIT-identical to the
+    naive dense all-edges kernel (reimplemented inline here, independent of
+    the engine), on polygons large enough to take the bucketed path."""
+
+    @staticmethod
+    def _naive_pip(px, py, xs, ys, offs):
+        from geocode_spark.geometry import _ring_edges
+        x1, y1, x2, y2 = _ring_edges(np.asarray(xs, float),
+                                     np.asarray(ys, float),
+                                     np.asarray(offs, int))
+        out = np.zeros(len(px), dtype=bool)
+        for i in range(len(px)):
+            cond = (y1 > py[i]) != (y2 > py[i])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xint = x1 + (py[i] - y1) / (y2 - y1) * (x2 - x1)
+            out[i] = int((cond & (px[i] < xint)).sum()) % 2 == 1
+        return out
+
+    def _rand_poly(self, rng, n):
+        ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        rad = (1.0 + 0.25 * np.sin(5 * ang)
+               + 0.1 * rng.standard_normal(n).cumsum() / np.sqrt(n))
+        rad = np.clip(rad, 0.2, None)
+        return rad * np.cos(ang), rad * np.sin(ang)
+
+    def test_bucketed_matches_naive_bitwise(self):
+        from geocode_spark.geometry import (PreparedPolygon,
+                                            points_in_polygon_prepared)
+        rng = np.random.default_rng(7)
+        for n in (500, 1200):   # well above _DENSE_EDGE_MAX
+            xs, ys = self._rand_poly(rng, n)
+            # add a hole ring to exercise multi-ring offsets
+            hx, hy = 0.3 * np.cos(np.linspace(0, 2 * np.pi, 50,
+                                              endpoint=False)), \
+                     0.3 * np.sin(np.linspace(0, 2 * np.pi, 50,
+                                              endpoint=False))
+            axs = np.r_[xs, hx]
+            ays = np.r_[ys, hy]
+            offs = np.array([0, n, n + 50])
+            px = rng.uniform(-1.6, 1.6, 4000)
+            py = rng.uniform(-1.6, 1.6, 4000)
+            # include exact-vertex-y probes (degenerate ray heights)
+            px = np.r_[px, axs[:100]]
+            py = np.r_[py, ays[:100]]
+            pp = PreparedPolygon(axs, ays, offs)
+            assert pp.x1.size > 160
+            got = points_in_polygon_prepared(px, py, pp)
+            want = self._naive_pip(px, py, axs, ays, offs)
+            assert np.array_equal(got, want)
+
+    def test_dense_path_matches_naive_bitwise(self):
+        from geocode_spark.geometry import points_in_polygon
+        rng = np.random.default_rng(11)
+        xs, ys = self._rand_poly(rng, 60)   # below _DENSE_EDGE_MAX
+        offs = np.array([0, 60])
+        px = rng.uniform(-1.6, 1.6, 2000)
+        py = rng.uniform(-1.6, 1.6, 2000)
+        got = points_in_polygon(px, py, xs, ys, offs)
+        want = self._naive_pip(px, py, xs, ys, offs)
+        assert np.array_equal(got, want)
+
+    def test_distance_prepared_matches_unprepared(self):
+        from geocode_spark.geometry import (PreparedPolygon, dist_to_polygon,
+                                            dist_to_polygon_m,
+                                            dist_to_polygon_m_prepared,
+                                            dist_to_polygon_prepared)
+        rng = np.random.default_rng(13)
+        xs, ys = self._rand_poly(rng, 300)
+        offs = np.array([0, 300])
+        px = rng.uniform(-2.0, 2.0, 500)
+        py = rng.uniform(-2.0, 2.0, 500)
+        pp = PreparedPolygon(xs, ys, offs)
+        assert np.array_equal(dist_to_polygon_prepared(px, py, pp),
+                              dist_to_polygon(px, py, xs, ys, offs))
+        assert np.array_equal(dist_to_polygon_m_prepared(px, py, pp),
+                              dist_to_polygon_m(px, py, xs, ys, offs))
