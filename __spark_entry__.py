@@ -817,8 +817,8 @@ def q_events_hourly(spark, sf_dir):
 
 def q_media_meta(spark, sf_dir):
     """Multimodal decode through the REAL from-scratch stdlib codecs
-    (functions/media.py: BMP + non-interlaced PNG + baseline JFIF JPEG +
-    RIFF/WAVE PCM): the
+    (functions/media.py: BMP + PNG incl. palette/tRNS and
+    Adam7-interlaced layouts + baseline JFIF JPEG + RIFF/WAVE PCM): the
     fixture corpus holds actual format bytes, the golden table holds the
     GENERATION-TIME truth (dimensions/duration chosen before encoding) —
     so a hash match proves bytes -> decode recovers real metadata, not a
@@ -863,6 +863,7 @@ def q_media_resize(spark, sf_dir):
     media = spark.read.parquet(f"{FIX}/media.parquet") \
         .filter(F.col("kind").isin("bmp", "png_gray", "png_rgb",
                                    "png_ga", "png_rgba",
+                                   "png_pal", "png_adam7",
                                    "jpeg_gray", "jpeg_420"))
     out = resize_media(media, binary_col="payload", width=8, height=6,
                        strict=True)

@@ -9,10 +9,12 @@ are implemented directly:
          (bottom-up and top-down), 4-byte row padding.
 * PNG  — ISO/IEC 15948: signature + chunked layout with CRC-32
          verification, IHDR, concatenated IDAT zlib streams, all five
-         scanline filters (None/Sub/Up/Average/Paeth), non-interlaced,
-         8-bit depth, color types 0/2/4/6 (greyscale, RGB, grey+alpha,
-         RGBA). Palette (type 3) and 16-bit depth are rejected
-         explicitly.
+         scanline filters (None/Sub/Up/Average/Paeth), color types
+         0/2/3/4/6 (greyscale, RGB, palette via PLTE with optional tRNS
+         alpha, grey+alpha, RGBA), bit depths 1/2/4/8 where the spec
+         allows them (sub-byte depths for greyscale and palette), and
+         both non-interlaced and Adam7-interlaced layouts. 16-bit depth
+         is rejected explicitly.
 * WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
          parsing, sample-accurate duration, block-aligned frame
          slicing, 16-bit sample decode.
@@ -145,7 +147,6 @@ def encode_bmp(arr: np.ndarray) -> bytes:
 # --------------------------------------------------------------------------
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _png_chunks(data: bytes):
@@ -166,11 +167,7 @@ def _png_chunks(data: bytes):
     raise MediaFormatError("missing IEND")
 
 
-@_format_errors
-def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
-    """(width, height, bit_depth, color_type) from a PNG's IHDR —
-    header-only, no decompression (the cheap metadata path)."""
-    data = bytes(data)
+def _png_ihdr_full(data: bytes) -> tuple[int, int, int, int, int]:
     if not data.startswith(PNG_SIG):
         raise MediaFormatError("not a PNG")
     typ, body = next(_png_chunks(data))
@@ -180,11 +177,18 @@ def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
         ">IIBBBBB", body)
     if comp != 0 or filt != 0:
         raise MediaFormatError("nonstandard compression/filter method")
-    if interlace != 0:
-        raise MediaFormatError("interlaced PNG not supported")
+    if interlace not in (0, 1):
+        raise MediaFormatError(f"unknown interlace method {interlace}")
     if w == 0 or h == 0:
         raise MediaFormatError("zero dimension")
-    return w, h, depth, ctype
+    return w, h, depth, ctype, interlace
+
+
+@_format_errors
+def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
+    """(width, height, bit_depth, color_type) from a PNG's IHDR —
+    header-only, no decompression (the cheap metadata path)."""
+    return _png_ihdr_full(bytes(data))[:4]
 
 
 # Executor-memory guard for untrusted corpora: a payload may DECLARE any
@@ -193,56 +197,43 @@ def png_ihdr(data: bytes) -> tuple[int, int, int, int]:
 MAX_PIXELS = 64 * 1024 * 1024
 
 
-@_format_errors
-def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Non-interlaced 8-bit PNG (color types 0/2/4/6) -> (h, w, ch)
-    uint8 array."""
-    data = bytes(data)
-    w, h, depth, ctype = png_ihdr(data)
-    if depth != 8:
-        raise MediaFormatError(f"only 8-bit depth supported, got {depth}")
-    if ctype not in _PNG_CHANNELS:
-        raise MediaFormatError(f"color type {ctype} (palette?) unsupported")
-    if w * h > max_pixels:
-        raise MediaFormatError(f"declared {w}x{h} exceeds max_pixels")
-    ch = _PNG_CHANNELS[ctype]
-    idat = b"".join(body for typ, body in _png_chunks(data)
-                    if typ == b"IDAT")
-    if not idat:
-        raise MediaFormatError("no IDAT")
-    # bounded inflate: a decompression bomb must not materialize more
-    # than the declared scanline bytes (+1 to detect oversize) before
-    # the length check can reject it
-    expected = (w * ch + 1) * h
-    dec = zlib.decompressobj()
-    raw = dec.decompress(idat, expected + 1)
-    if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
-        raise MediaFormatError("IDAT inflates past declared dimensions")
-    stride = w * ch
-    if len(raw) != (stride + 1) * h:
-        raise MediaFormatError("decompressed length mismatch")
-    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    out = np.empty((h, stride), np.uint8)
+# Adam7 pass layout: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+# color type -> bit depths this decoder supports (the spec additionally
+# allows 16-bit everywhere; rejected explicitly).
+_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# color type -> channels per pixel IN THE SCANLINE (palette scans are
+# 1-channel index streams; they widen to RGB/RGBA after PLTE lookup).
+_PNG_SCAN_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _unfilter(raw: np.ndarray, n_rows: int, stride: int,
+              bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: (n_rows, stride+1) uint8 rows
+    with a leading filter byte -> (n_rows, stride) uint8."""
+    out = np.empty((n_rows, stride), np.uint8)
     prev = np.zeros(stride, np.int64)
-    for y in range(h):
+    for y in range(n_rows):
         f = int(raw[y, 0])
         line = raw[y, 1:].astype(np.int64)
         if f == 0:  # None
             cur = line
-        elif f == 1:  # Sub: per-channel prefix sum mod 256 (vectorized)
-            cur = np.cumsum(line.reshape(w, ch), axis=0).reshape(stride) \
-                & 0xFF
+        elif f == 1:  # Sub: per-pixel-byte prefix sum mod 256 (vectorized)
+            cur = np.cumsum(line.reshape(stride // bpp, bpp), axis=0) \
+                .reshape(stride) & 0xFF
         elif f == 2:  # Up
             cur = (line + prev) & 0xFF
         elif f in (3, 4):  # Average / Paeth need the sequential scan
             cur = np.empty(stride, np.int64)
             for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if f == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = prev[x - ch] if x >= ch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else \
@@ -252,7 +243,106 @@ def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             raise MediaFormatError(f"unknown filter type {f}")
         out[y] = cur
         prev = cur
-    return out.reshape(h, w, ch)
+    return out
+
+
+def _expand_samples(rows: np.ndarray, pw: int, ch: int,
+                    depth: int) -> np.ndarray:
+    """(n_rows, stride) unfiltered scanline bytes -> (n_rows, pw*ch)
+    uint8 samples (palette indices, or raw sub-byte greyscale values).
+    Sub-byte samples pack MSB-first within each byte per the spec."""
+    if depth == 8:
+        return rows
+    bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
+    n = pw * ch  # ch == 1 for every color type the spec allows sub-byte
+    bits = bits[:, :n * depth].reshape(rows.shape[0], n, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
+
+
+@_format_errors
+def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """PNG (color types 0/2/3/4/6, bit depths 1/2/4/8, non-interlaced
+    or Adam7-interlaced) -> (h, w, ch) uint8 array. Palette images
+    resolve through PLTE to RGB, or RGBA when a tRNS chunk supplies
+    per-entry alpha; sub-byte greyscale samples scale to the full 0-255
+    range per the spec (×255/(2^depth−1), exact for depths 1/2/4)."""
+    data = bytes(data)
+    w, h, depth, ctype, interlace = _png_ihdr_full(data)
+    if ctype not in _PNG_SCAN_CH:
+        raise MediaFormatError(f"color type {ctype} unsupported")
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise MediaFormatError(
+            f"bit depth {depth} unsupported for color type {ctype}")
+    if w * h > max_pixels:
+        raise MediaFormatError(f"declared {w}x{h} exceeds max_pixels")
+    ch = _PNG_SCAN_CH[ctype]
+    idat, plte, trns = [], None, None
+    for typ, body in _png_chunks(data):
+        if typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"tRNS":
+            trns = body
+    idat = b"".join(idat)
+    if not idat:
+        raise MediaFormatError("no IDAT")
+
+    def _stride(pw: int) -> int:
+        return (pw * ch * depth + 7) // 8
+
+    if interlace == 0:
+        passes = [(0, 0, 1, 1, w, h)]
+    else:  # Adam7: empty passes carry no scanlines at all
+        passes = [(x0, y0, dx, dy,
+                   (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+                  for x0, y0, dx, dy in _ADAM7
+                  if (w - x0 + dx - 1) // dx > 0
+                  and (h - y0 + dy - 1) // dy > 0]
+    expected = sum((_stride(pw) + 1) * ph for *_, pw, ph in passes)
+    # bounded inflate: a decompression bomb must not materialize more
+    # than the declared scanline bytes (+1 to detect oversize) before
+    # the length check can reject it
+    dec = zlib.decompressobj()
+    raw = dec.decompress(idat, expected + 1)
+    if len(raw) > expected or dec.unconsumed_tail or dec.decompress(b"", 1):
+        raise MediaFormatError("IDAT inflates past declared dimensions")
+    if len(raw) != expected:
+        raise MediaFormatError("decompressed length mismatch")
+
+    bpp = max(1, ch * depth // 8)  # the filters' "prior byte" distance
+    img = np.empty((h, w, ch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        stride = _stride(pw)
+        n = (stride + 1) * ph
+        rows = np.frombuffer(raw[pos:pos + n], np.uint8) \
+            .reshape(ph, stride + 1)
+        pos += n
+        flat = _expand_samples(_unfilter(rows, ph, stride, bpp),
+                               pw, ch, depth)
+        img[y0::dy, x0::dx, :] = flat.reshape(ph, pw, ch)
+
+    if ctype == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3:
+            raise MediaFormatError("palette image without a valid PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise MediaFormatError("palette index out of range")
+        rgb = pal[idx]
+        if trns is None:
+            return rgb
+        if len(trns) > pal.shape[0]:
+            raise MediaFormatError("tRNS longer than palette")
+        alpha = np.full(pal.shape[0], 255, np.uint8)
+        alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
+        return np.dstack([rgb, alpha[idx]])
+    if depth < 8:
+        # max sample × multiplier is exactly 255, so uint8 can't wrap
+        img = img * np.uint8(255 // ((1 << depth) - 1))
+    return img
 
 
 def encode_png(arr: np.ndarray) -> bytes:

@@ -2,12 +2,13 @@
 typed metadata.
 
 The decode layer is REAL: from-scratch stdlib codecs (functions/media.py
-— BMP, non-interlaced PNG via zlib, RIFF/WAVE PCM) back every default
+— BMP, PNG incl. palette/tRNS and Adam7 interlacing via zlib, baseline
+JFIF JPEG, RIFF/WAVE PCM) back every default
 hook, so ``with_media_meta`` reports actual pixel dimensions and
 sample-accurate audio durations, ``extract_features`` histograms decoded
 pixels/samples, ``resize_media`` emits real resampled image bytes and
 ``frame_sample`` slices block-aligned PCM segments. Payload formats
-outside the codecs' coverage (JPEG, MP3, real video containers — no
+outside the codecs' coverage (MP3, real video containers — no
 codec libs exist in this environment) classify as plain ``binary`` and
 take deterministic byte-level fallbacks; every hook stays pluggable
 (``decode_fn=`` / ``feature_fn=`` / ``resize_fn=`` / ``frame_fn=``) for

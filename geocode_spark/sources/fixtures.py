@@ -12,6 +12,8 @@ uses.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -270,6 +272,28 @@ def build_pages(n: int = 2000, seed: int = 42) -> pd.DataFrame:
     return df
 
 
+# Adam7 pass layout transcribed from the PNG spec — a GENERATION-side
+# serializer (like encode_*), so decode is never consulted for goldens.
+_ADAM7_PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                 (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_blob(w, h, depth, ctype, raw, interlace=0, plte=None, trns=None):
+    """Hand-serialize a PNG (filter-0 scanlines already packed in `raw`)
+    for the palette / interlaced fixture kinds the filter-0 truecolor
+    `encode_png` can't express."""
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body
+                + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += chunk(b"PLTE", plte)
+    if trns is not None:
+        blob += chunk(b"tRNS", trns)
+    return blob + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                 resize_wh: tuple[int, int] = (8, 6), n_frames: int = 4):
     """Deterministic multimodal corpus + GENERATION-TIME goldens.
@@ -280,10 +304,13 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     SOURCE arrays / generation parameters, never by running the byte
     DECODERS — so the driver's media queries prove that
     bytes -> decode recovers the generation truth end-to-end. Kinds cycle
-    through BMP, the four supported PNG color types, baseline JPEG
-    (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample rates,
-    and plain binary blobs; one trailing row has a NULL payload
-    (null-handling coverage).
+    through BMP, the four truecolor/grey PNG color types, depth-4 palette
+    PNG (PLTE, alternating tRNS alpha), Adam7-interlaced RGB PNG, baseline
+    JPEG (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample
+    rates, and plain binary blobs; one trailing row has a NULL payload
+    (null-handling coverage). The palette/interlaced payloads are
+    serialized by ``_png_blob`` (generation-side struct/zlib, not the
+    engine's encoder).
 
     JPEG is lossy, so its fixtures are drawn from the class where
     baseline JPEG is exactly lossless end-to-end: images flat per 8x8
@@ -300,6 +327,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
 
     rng = np.random.default_rng(seed)
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
+             "png_pal", "png_adam7",
              "jpeg_gray", "jpeg_420",
              "wav_mono", "wav_stereo", "bin"]
     rw, rh = resize_wh
@@ -349,6 +377,38 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                                 yf - 0.344136 * cbf - 0.714136 * crf,
                                 yf + 1.772 * cbf], axis=-1)
                 src = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            elif kind == "png_pal":
+                # depth-4 palette (<=16 entries); alternate rows of the
+                # cycle carry a tRNS alpha table -> RGBA golden
+                w = int(rng.integers(4, 21))
+                h = int(rng.integers(4, 21))
+                n_pal = int(rng.integers(2, 17))
+                pal = rng.integers(0, 256, (n_pal, 3), dtype=np.uint8)
+                idx = rng.integers(0, n_pal, (h, w), dtype=np.uint8)
+                raw = b""
+                for row in idx:  # pack 4-bit indices MSB-first per row
+                    nib = row if len(row) % 2 == 0 \
+                        else np.append(row, np.uint8(0))
+                    raw += b"\x00" + ((nib[0::2] << 4)
+                                      | nib[1::2]).astype(np.uint8).tobytes()
+                src, trns = pal[idx], None
+                if (i // len(kinds)) % 2:
+                    alpha = rng.integers(0, 256, n_pal, dtype=np.uint8)
+                    trns = alpha.tobytes()
+                    src = np.dstack([src, alpha[idx]])
+                payload = _png_blob(w, h, 4, 3, raw, plte=pal.tobytes(),
+                                    trns=trns)
+            elif kind == "png_adam7":
+                w = int(rng.integers(4, 21))
+                h = int(rng.integers(4, 21))
+                src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                raw = b""
+                for x0, y0, dx, dy in _ADAM7_PASSES:
+                    sub = src[y0::dy, x0::dx, :]
+                    if sub.shape[0] and sub.shape[1]:
+                        for row in sub:
+                            raw += b"\x00" + row.tobytes()
+                payload = _png_blob(w, h, 8, 2, raw, interlace=1)
             else:
                 w = int(rng.integers(4, 21))
                 h = int(rng.integers(4, 21))

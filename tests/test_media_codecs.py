@@ -30,12 +30,35 @@ def _png_chunk(typ, body):
             + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
 
 
-def _png(w, h, depth, ctype, raw_scanlines):
+def _png(w, h, depth, ctype, raw_scanlines, interlace=0, plte=None,
+         trns=None):
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
-    idat = zlib.compress(raw_scanlines)
-    return (sig + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IDAT", idat)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    blob = sig + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += _png_chunk(b"PLTE", plte)
+    if trns is not None:
+        blob += _png_chunk(b"tRNS", trns)
+    return (blob + _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
             + _png_chunk(b"IEND", b""))
+
+
+# Adam7 pass layout, transcribed from the spec (independent of the
+# engine's table) so interlaced fixtures are hand-built, not round-trips.
+_ADAM7_SPEC = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _adam7_raw(img):
+    """(h, w, ch) uint8 -> concatenated filter-0 pass scanlines."""
+    out = b""
+    for x0, y0, dx, dy in _ADAM7_SPEC:
+        sub = img[y0::dy, x0::dx, :]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out += b"\x00" + row.tobytes()
+    return out
 
 
 class TestBmpSpecBytes:
@@ -98,16 +121,89 @@ class TestPngSpecBytes:
         with pytest.raises(MediaFormatError, match="CRC"):
             decode_png(bytes(blob))
 
-    def test_rejects_palette_16bit_interlaced(self):
-        with pytest.raises(MediaFormatError, match="palette|color type"):
-            decode_png(_png(1, 1, 8, 3, b"\x00\x00"))
-        with pytest.raises(MediaFormatError, match="8-bit"):
+    def test_rejects_16bit_missing_plte_bad_interlace(self):
+        with pytest.raises(MediaFormatError, match="PLTE"):
+            decode_png(_png(1, 1, 8, 3, b"\x00\x00"))  # palette, no PLTE
+        with pytest.raises(MediaFormatError, match="depth 16"):
             decode_png(_png(1, 1, 16, 0, b"\x00\x00\x00"))
+        with pytest.raises(MediaFormatError, match="depth 4"):
+            decode_png(_png(1, 1, 4, 2, b"\x00\x00\x00"))  # sub-byte RGB
         sig = b"\x89PNG\r\n\x1a\n"
-        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # interlaced
+        ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2)  # bad method
         blob = sig + _png_chunk(b"IHDR", ihdr)
-        with pytest.raises(MediaFormatError, match="interlaced"):
+        with pytest.raises(MediaFormatError, match="interlace"):
             png_ihdr(blob)
+
+    def test_palette_8bit_resolves_plte(self):
+        # 2x2, 3-entry palette; indices laid down with Sub/None filters
+        plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+        raw = (b"\x00" + bytes([0, 1])
+               + b"\x01" + bytes([2, 255]))  # Sub: 2, (2+255)&0xFF=1
+        arr = decode_png(_png(2, 2, 8, 3, raw, plte=plte))
+        assert arr.shape == (2, 2, 3)
+        exp = np.array([[[255, 0, 0], [0, 255, 0]],
+                        [[0, 0, 255], [0, 255, 0]]], np.uint8)
+        assert (arr == exp).all()
+
+    def test_palette_4bit_with_trns_alpha(self):
+        # 3x1 depth-4 palette: 12 bits pack MSB-first into 2 bytes;
+        # tRNS shorter than PLTE pads alpha=255 for the uncovered entry
+        plte = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32])
+        raw = b"\x00" + bytes([0x01, 0x20])  # indices 0,1,2 + pad bits
+        arr = decode_png(_png(3, 1, 4, 3, raw, plte=plte,
+                              trns=bytes([128, 0])))
+        assert arr.shape == (1, 3, 4)
+        exp = np.array([[[10, 11, 12, 128], [20, 21, 22, 0],
+                         [30, 31, 32, 255]]], np.uint8)
+        assert (arr == exp).all()
+
+    def test_palette_index_out_of_range_raises(self):
+        plte = bytes([1, 2, 3])  # one entry; index 1 is out of range
+        with pytest.raises(MediaFormatError, match="out of range"):
+            decode_png(_png(1, 1, 8, 3, b"\x00\x01", plte=plte))
+
+    def test_grayscale_subbyte_depths_scale_to_255(self):
+        # depth 1, 2x1: bits 10 -> samples 1,0 -> 255,0
+        arr = decode_png(_png(2, 1, 1, 0, b"\x00\x80"))
+        assert (arr.ravel() == [255, 0]).all()
+        # depth 2, 5x1: 10 bits MSB-first (values 3,0,1,2,3), x85 scale
+        raw = b"\x00" + bytes([0b11000110, 0b11000000])
+        arr = decode_png(_png(5, 1, 2, 0, raw))
+        assert (arr.ravel() == [255, 0, 85, 170, 255]).all()
+        # depth 4, 3x1: values 15, 0, 9 -> x17 scale
+        raw = b"\x00" + bytes([0xF0, 0x90])
+        arr = decode_png(_png(3, 1, 4, 0, raw))
+        assert (arr.ravel() == [255, 0, 153]).all()
+
+    def test_adam7_interlaced_rgb_roundtrips_pixels(self):
+        # 5x3 RGB exercises empty passes (pass 3 has no rows, pass 7
+        # covers row 1 only); raw pass data hand-built from the spec
+        # table, filter 0 everywhere
+        img = np.arange(5 * 3 * 3, dtype=np.uint8).reshape(3, 5, 3)
+        blob = _png(5, 3, 8, 2, _adam7_raw(img), interlace=1)
+        assert (decode_png(blob) == img).all()
+
+    def test_adam7_interlaced_palette_subbyte(self):
+        # 9x9 depth-1 palette, interlaced: every pass non-empty and the
+        # sub-byte rows of each pass pad independently per scanline
+        idx = ((np.arange(81).reshape(9, 9) % 2)).astype(np.uint8)
+        plte = bytes([0, 0, 0, 255, 255, 255])
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7_SPEC:
+            sub = idx[y0::dy, x0::dx]
+            for row in sub:
+                packed = np.packbits(row)  # MSB-first, zero-padded
+                raw += b"\x00" + packed.tobytes()
+        blob = _png(9, 9, 1, 3, raw, interlace=1, plte=plte)
+        arr = decode_png(blob)
+        assert arr.shape == (9, 9, 3)
+        assert (arr[:, :, 0] == idx * 255).all()
+        assert (arr == arr[:, :, :1]).all()  # grey palette: channels agree
+
+    def test_interlaced_meta_is_header_only(self):
+        img = np.zeros((4, 4, 3), np.uint8)
+        blob = _png(4, 4, 8, 2, _adam7_raw(img), interlace=1)
+        assert png_ihdr(blob) == (4, 4, 8, 2)
 
     def test_multiple_idat_chunks_concatenate(self):
         raw = b"\x00" + bytes([1, 2]) + b"\x00" + bytes([3, 4])
