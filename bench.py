@@ -46,7 +46,13 @@ does this once per run) so both parallelism levels of a scaling pair read
 byte-identical input files.
 
 Derived metrics reported: points/sec for the reverse geocode, docs/sec for
-the pipeline.
+the pipeline, plus hw_miters_per_s — a ~2 s raw-CPU burn at 1 and $CPUS
+processes (the scripts/scaling.py probe kernel) embedded in the JSON so
+every recorded bench carries the hardware state it ran under. This host
+is multi-tenant and its per-core speed moves ±30-50% between rounds
+(e.g. 2026-08-17: 8.45→6.06 Miters/s single-core, 157→72 at 32 procs
+after a host restart); cross-round query-time comparisons are only
+meaningful relative to these probes.
 """
 
 from __future__ import annotations
@@ -64,6 +70,32 @@ import pyspark.sql.functions as F  # noqa: E402
 FIX = "/root/repo/fixtures"
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _burn(n: int) -> float:
+    import math
+    x = 0.0
+    for i in range(n):
+        x += math.sqrt(abs(math.sin(i * 1.7)))
+    return x
+
+
+def _hw_probe(levels: tuple = (1,), n: int = 3_000_000) -> dict:
+    """Raw-CPU throughput (total million-iterations/s) of this host at each
+    process count — the same burn kernel scripts/scaling.py gates on. Runs
+    once per bench (~2 s) and is embedded in the output JSON so recorded
+    benches disclose the hardware state they ran under (this host is
+    multi-tenant; per-core speed varies ±30-50% across rounds)."""
+    import multiprocessing as mp
+    out = {}
+    for procs in levels:
+        with mp.Pool(procs) as p:
+            p.map(_burn, [10_000] * procs)  # fork+import cost, untimed
+            t0 = time.time()
+            p.map(_burn, [n] * procs)
+            dt = time.time() - t0
+        out[str(procs)] = round(procs * n / dt / 1e6, 2)
+    return out
 N_POINTS = int(os.environ.get("BENCH_POINTS", "4000000"))
 N_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 N_MINHASH = int(os.environ.get("BENCH_MINHASH", "80000"))
@@ -405,6 +437,7 @@ def main():
     shutil.rmtree(stream_cp, ignore_errors=True)
 
     total = sum(queries.values())
+    hw = _hw_probe((1, CPUS))
     result = {
         "metric": "bench_total",
         "value": round(total, 3),
@@ -418,6 +451,7 @@ def main():
             stream_rows_metered / queries["stream_drain"], 1),
         "stream_rows_metered": stream_rows_metered,
         "stream_rows_total": n_stream,
+        "hw_miters_per_s": hw,
     }
     print(json.dumps(result))
     spark.stop()
