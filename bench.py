@@ -72,6 +72,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+# Raw-CPU probe kernel + iteration count, shared with scripts/scaling.py
+# (which imports BOTH from here) so the bench-embedded probe and the
+# scaling gate always measure the identical kernel.
+BURN_N = 3_000_000
+
+
 def _burn(n: int) -> float:
     import math
     x = 0.0
@@ -80,7 +86,7 @@ def _burn(n: int) -> float:
     return x
 
 
-def _hw_probe(levels: tuple = (1,), n: int = 3_000_000) -> dict:
+def _hw_probe(levels: tuple = (1,), n: int = BURN_N) -> dict:
     """Raw-CPU throughput (total million-iterations/s) of this host at each
     process count — the same burn kernel scripts/scaling.py gates on. Runs
     once per bench (~2 s) and is embedded in the output JSON so recorded
@@ -180,6 +186,11 @@ def main():
     from geocode_spark.operators.similarity import brute_force_topk
     from geocode_spark.regions import load_prepared
     from geocode_spark.session import get_spark
+
+    # probe BEFORE the SparkSession exists: multiprocessing forks, and
+    # forking a driver with live JVM-gateway threads risks a child
+    # inheriting a held import/logging lock and hanging the pool
+    hw = _hw_probe((1, CPUS))
 
     spark = get_spark(app_name="geocode-spark-bench",
                       master=f"local[{CPUS}]", shuffle_partitions=CPUS)
@@ -437,7 +448,6 @@ def main():
     shutil.rmtree(stream_cp, ignore_errors=True)
 
     total = sum(queries.values())
-    hw = _hw_probe((1, CPUS))
     result = {
         "metric": "bench_total",
         "value": round(total, 3),

@@ -135,8 +135,9 @@ def points_in_polygon_prepared(px, py, pp: PreparedPolygon,
         # superset of elements (non-straddling edges are masked by the
         # straddle condition), so the result is the same bit pattern.
         # product cap 2^18 elements: keeps each (points x edges) temporary
-        # ~2 MB, inside per-core cache (measured 2x faster than 2^21)
-        dchunk = max(1, (1 << 18) // pp.x1.size)
+        # ~2 MB, inside per-core cache (measured 2x faster than 2^21);
+        # a caller's tighter chunk still caps the point count
+        dchunk = max(1, min((1 << 18) // pp.x1.size, chunk))
         x1 = pp.x1[None, :]
         y1 = pp.y1[None, :]
         y2 = pp.y2[None, :]
@@ -191,10 +192,13 @@ def points_in_polygon(px, py, xs, ys, ring_offsets, chunk: int = 4096) -> np.nda
 
     One-shot convenience over :func:`points_in_polygon_prepared` — callers
     that probe the same polygon repeatedly should build the
-    :class:`PreparedPolygon` once and reuse it.
+    :class:`PreparedPolygon` once and reuse it. ``chunk`` still bounds the
+    per-chunk point count (and thus the transient (points x edges)
+    footprint), as it did before the prepared path existed.
     """
     return points_in_polygon_prepared(px, py,
-                                      PreparedPolygon(xs, ys, ring_offsets))
+                                      PreparedPolygon(xs, ys, ring_offsets),
+                                      chunk=chunk)
 
 
 def _dist_kernel(px, py, xs, ys, ring_offsets, chunk: int,

@@ -589,6 +589,11 @@ def reverse_geocode_multi(
     cell_res = specs[0][2] if specs else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Build (or fetch) every spec's index ONCE per stage and hold
+        # direct references across batches: with more specs than the
+        # FIFO cache holds, per-batch _get_index calls would thrash the
+        # cache and re-sort every cover map on every batch.
+        indexes = [_get_index(s[0].value, s[1].value) for s in specs]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -598,8 +603,7 @@ def reverse_geocode_multi(
             finite = np.isfinite(lat_all) & np.isfinite(lon_all)
             vpos = np.flatnonzero(finite)
             for (b_cover, b_geoms, res, (name, crs), out_col, max_d,
-                 metric) in specs:
-                index = _get_index(b_cover.value, b_geoms.value)
+                 metric), index in zip(specs, indexes):
                 rid = np.full(len(pdf), None, dtype=object)
                 if vpos.size:
                     rid[vpos] = _assign_batch(index, lat_all[vpos],

@@ -34,7 +34,6 @@ Writes BENCH/BASELINE.md and prints a JSON summary.
 from __future__ import annotations
 
 import json
-import math
 import multiprocessing as mp
 import os
 import subprocess
@@ -76,11 +75,10 @@ BUDGET_S = float(os.environ.get("SPARK_SCALING_BUDGET_S", "4500"))
 COOLDOWN_S = float(os.environ.get("SPARK_SCALING_COOLDOWN_S", "60"))
 
 
-def _burn(n):
-    x = 0.0
-    for i in range(n):
-        x += math.sqrt(abs(math.sin(i * 1.7)))
-    return x
+sys.path.insert(0, str(REPO))
+from bench import BURN_N, _burn  # noqa: E402  — ONE probe kernel: the
+# bench-embedded hw_miters_per_s and this script's gate must measure the
+# identical burn, or cross-run hardware-relative comparisons drift
 
 
 def cpu_probe(pin: bool = False, levels=(1, 2, 4, 8, 16, 32)) -> dict:
@@ -89,7 +87,7 @@ def cpu_probe(pin: bool = False, levels=(1, 2, 4, 8, 16, 32)) -> dict:
     worker processes are confined to cores 0..P-1 (mirrors the pinned
     engine runs)."""
     out = {}
-    n = 3_000_000
+    n = BURN_N
     prev = os.sched_getaffinity(0) if pin else None
     try:
         for procs in levels:
