@@ -11,10 +11,11 @@ are implemented directly:
          verification, IHDR, concatenated IDAT zlib streams, all five
          scanline filters (None/Sub/Up/Average/Paeth), color types
          0/2/3/4/6 (greyscale, RGB, palette via PLTE with optional tRNS
-         alpha, grey+alpha, RGBA), bit depths 1/2/4/8 where the spec
-         allows them (sub-byte depths for greyscale and palette), and
-         both non-interlaced and Adam7-interlaced layouts. 16-bit depth
-         is rejected explicitly.
+         alpha, grey+alpha, RGBA), every bit depth the spec allows per
+         type (1/2/4/8/16; sub-byte for greyscale and palette, 16-bit
+         for the non-palette types, folded to 8 by the standard strip-16
+         high-byte convention), and both non-interlaced and
+         Adam7-interlaced layouts.
 * WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
          parsing, sample-accurate duration, block-aligned frame
          slicing, 16-bit sample decode.
@@ -201,9 +202,10 @@ MAX_PIXELS = 64 * 1024 * 1024
 _ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-# color type -> bit depths this decoder supports (the spec additionally
-# allows 16-bit everywhere; rejected explicitly).
-_PNG_DEPTHS = {0: (1, 2, 4, 8), 2: (8,), 3: (1, 2, 4, 8), 4: (8,), 6: (8,)}
+# color type -> bit depths this decoder supports — exactly the spec's
+# legal combinations (palette is never 16-bit).
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
 # color type -> channels per pixel IN THE SCANLINE (palette scans are
 # 1-channel index streams; they widen to RGB/RGBA after PLTE lookup).
 _PNG_SCAN_CH = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -250,9 +252,13 @@ def _expand_samples(rows: np.ndarray, pw: int, ch: int,
                     depth: int) -> np.ndarray:
     """(n_rows, stride) unfiltered scanline bytes -> (n_rows, pw*ch)
     uint8 samples (palette indices, or raw sub-byte greyscale values).
-    Sub-byte samples pack MSB-first within each byte per the spec."""
+    Sub-byte samples pack MSB-first within each byte per the spec;
+    16-bit samples are big-endian and fold to 8 bits by the standard
+    strip-16 high-byte convention (libpng png_set_strip_16)."""
     if depth == 8:
         return rows
+    if depth == 16:
+        return rows[:, 0::2]
     bits = np.unpackbits(rows, axis=1)  # MSB-first, matching the spec
     n = pw * ch  # ch == 1 for every color type the spec allows sub-byte
     bits = bits[:, :n * depth].reshape(rows.shape[0], n, depth)
@@ -262,11 +268,12 @@ def _expand_samples(rows: np.ndarray, pw: int, ch: int,
 
 @_format_errors
 def decode_png(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """PNG (color types 0/2/3/4/6, bit depths 1/2/4/8, non-interlaced
+    """PNG (color types 0/2/3/4/6, bit depths 1/2/4/8/16, non-interlaced
     or Adam7-interlaced) -> (h, w, ch) uint8 array. Palette images
     resolve through PLTE to RGB, or RGBA when a tRNS chunk supplies
     per-entry alpha; sub-byte greyscale samples scale to the full 0-255
-    range per the spec (×255/(2^depth−1), exact for depths 1/2/4)."""
+    range per the spec (×255/(2^depth−1), exact for depths 1/2/4);
+    16-bit samples fold to their high byte (strip-16)."""
     data = bytes(data)
     w, h, depth, ctype, interlace = _png_ihdr_full(data)
     if ctype not in _PNG_SCAN_CH:

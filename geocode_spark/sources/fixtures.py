@@ -305,7 +305,8 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     DECODERS — so the driver's media queries prove that
     bytes -> decode recovers the generation truth end-to-end. Kinds cycle
     through BMP, the four truecolor/grey PNG color types, depth-4 palette
-    PNG (PLTE, alternating tRNS alpha), Adam7-interlaced RGB PNG, baseline
+    PNG (PLTE, alternating tRNS alpha), Adam7-interlaced RGB PNG, 16-bit
+    RGB PNG (strip-16 high-byte golden), baseline
     JPEG (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample
     rates, and plain binary blobs; one trailing row has a NULL payload
     (null-handling coverage). The palette/interlaced payloads are
@@ -327,7 +328,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
 
     rng = np.random.default_rng(seed)
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
-             "png_pal", "png_adam7",
+             "png_pal", "png_adam7", "png16",
              "jpeg_gray", "jpeg_420",
              "wav_mono", "wav_stereo", "bin"]
     rw, rh = resize_wh
@@ -398,6 +399,16 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                     src = np.dstack([src, alpha[idx]])
                 payload = _png_blob(w, h, 4, 3, raw, plte=pal.tobytes(),
                                     trns=trns)
+            elif kind == "png16":
+                # 16-bit RGB: golden is the strip-16 high byte of each
+                # big-endian source sample (the decoder's documented fold)
+                w = int(rng.integers(4, 21))
+                h = int(rng.integers(4, 21))
+                src16 = rng.integers(0, 1 << 16, (h, w, 3), dtype=np.uint16)
+                raw = b"".join(b"\x00" + row.astype(">u2").tobytes()
+                               for row in src16)
+                src = (src16 >> 8).astype(np.uint8)
+                payload = _png_blob(w, h, 16, 2, raw)
             elif kind == "png_adam7":
                 w = int(rng.integers(4, 21))
                 h = int(rng.integers(4, 21))

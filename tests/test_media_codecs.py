@@ -121,11 +121,11 @@ class TestPngSpecBytes:
         with pytest.raises(MediaFormatError, match="CRC"):
             decode_png(bytes(blob))
 
-    def test_rejects_16bit_missing_plte_bad_interlace(self):
+    def test_rejects_illegal_depth_missing_plte_bad_interlace(self):
         with pytest.raises(MediaFormatError, match="PLTE"):
             decode_png(_png(1, 1, 8, 3, b"\x00\x00"))  # palette, no PLTE
         with pytest.raises(MediaFormatError, match="depth 16"):
-            decode_png(_png(1, 1, 16, 0, b"\x00\x00\x00"))
+            decode_png(_png(1, 1, 16, 3, b"\x00\x00\x00"))  # 16-bit palette
         with pytest.raises(MediaFormatError, match="depth 4"):
             decode_png(_png(1, 1, 4, 2, b"\x00\x00\x00"))  # sub-byte RGB
         sig = b"\x89PNG\r\n\x1a\n"
@@ -133,6 +133,27 @@ class TestPngSpecBytes:
         blob = sig + _png_chunk(b"IHDR", ihdr)
         with pytest.raises(MediaFormatError, match="interlace"):
             png_ihdr(blob)
+
+    def test_16bit_strips_to_high_byte(self):
+        # 2x2 grayscale 16-bit: row0 filter 0 (pixels 0x1234, 0xFF01),
+        # row1 Up (byte-wise deltas reconstruct 0x1334, 0x0001 -> but the
+        # modulo-256 byte arithmetic is what the spec specifies)
+        raw = (b"\x00" + bytes([0x12, 0x34, 0xFF, 0x01])
+               + b"\x02" + bytes([0x01, 0x00, 0x01, 0xFF]))
+        arr = decode_png(_png(2, 2, 16, 0, raw))
+        assert arr.shape == (2, 2, 1)
+        assert (arr[0].ravel() == [0x12, 0xFF]).all()
+        # Up: 0x12+0x01=0x13, 0xFF+0x01=0x00 (mod 256) -> high bytes
+        assert (arr[1].ravel() == [0x13, 0x00]).all()
+
+    def test_16bit_rgb_sub_filter_uses_6_byte_distance(self):
+        # 2x1 RGB 16-bit, Sub filter: the "prior byte" distance is
+        # ch*2 = 6, so pixel 1's bytes add pixel 0's byte-for-byte
+        p0 = bytes([0x10, 0xAA, 0x20, 0xBB, 0x30, 0xCC])
+        d1 = bytes([0x05, 0x00, 0x06, 0x00, 0x07, 0x00])
+        arr = decode_png(_png(2, 1, 16, 2, b"\x01" + p0 + d1))
+        assert (arr[0, 0] == [0x10, 0x20, 0x30]).all()
+        assert (arr[0, 1] == [0x15, 0x26, 0x37]).all()
 
     def test_palette_8bit_resolves_plte(self):
         # 2x2, 3-entry palette; indices laid down with Sub/None filters
