@@ -864,6 +864,7 @@ def q_media_resize(spark, sf_dir):
         .filter(F.col("kind").isin("bmp", "png_gray", "png_rgb",
                                    "png_ga", "png_rgba",
                                    "png_pal", "png_adam7", "png16",
+                                   "gif",
                                    "jpeg_gray", "jpeg_420"))
     out = resize_media(media, binary_col="payload", width=8, height=6,
                        strict=True)

@@ -16,6 +16,11 @@ are implemented directly:
          for the non-palette types, folded to 8 by the standard strip-16
          high-byte convention), and both non-interlaced and
          Adam7-interlaced layouts.
+* GIF  — 87a/89a: logical screen + global/local color tables, the full
+         variable-width LSB-first LZW decoder (code-width growth, CLEAR
+         resets, 4096-entry cap), 4-pass row interlacing, transparency
+         via the Graphic Control Extension (alpha-0 pixels), first frame
+         of animations composited on the background color.
 * WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
          parsing, sample-accurate duration, block-aligned frame
          slicing, 16-bit sample decode.
@@ -1038,11 +1043,198 @@ def encode_jpeg(y: np.ndarray, cb: np.ndarray = None, cr: np.ndarray = None,
 
 
 # --------------------------------------------------------------------------
+# GIF (87a / 89a)
+# --------------------------------------------------------------------------
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+# GIF row-interlace passes: (first_row, row_step), spec appendix E order.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def gif_header(data: bytes) -> tuple[int, int]:
+    """(width, height) from the logical screen descriptor — header-only,
+    no LZW work (the cheap metadata path)."""
+    data = bytes(data)
+    if data[:6] not in GIF_SIGS or len(data) < 13:
+        raise MediaFormatError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    if w == 0 or h == 0:
+        raise MediaFormatError("zero dimension")
+    return w, h
+
+
+def _gif_subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
+    """Concatenate the length-prefixed sub-blocks starting at ``pos``
+    through their 0-length terminator; returns (payload, next_pos)."""
+    chunks = []
+    while True:
+        if pos >= len(data):
+            raise MediaFormatError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return b"".join(chunks), pos
+        if pos + n > len(data):
+            raise MediaFormatError("truncated GIF sub-block")
+        chunks.append(data[pos:pos + n])
+        pos += n
+
+
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int) -> np.ndarray:
+    """GIF LZW (variable-width codes, LSB-first bit packing) -> uint8
+    color-index array of exactly ``max_out`` elements.
+
+    Mirrors the spec's decoder: root table of 2^mcs single-index codes
+    plus CLEAR/EOI, code width starts at mcs+1 and bumps when the table
+    fills its width (cap 12 bits / 4096 entries, then no growth until a
+    CLEAR). Raises if the stream ends before ``max_out`` indices."""
+    if not 2 <= min_code_size <= 8:
+        raise MediaFormatError(f"bad LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    end_code = clear + 1
+    width = min_code_size + 1
+    roots = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(roots)
+    out: list = []
+    total = 0
+    prev: bytes | None = None
+    bitpos = 0
+    nbits = len(data) * 8
+    while total < max_out:
+        if bitpos + width > nbits:
+            raise MediaFormatError("LZW stream ends before frame is full")
+        b0 = bitpos >> 3
+        code = (int.from_bytes(data[b0:b0 + 3], "little")
+                >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = list(roots)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end_code:
+            raise MediaFormatError("LZW EOI before frame is full")
+        if prev is None:
+            if code >= clear:
+                raise MediaFormatError("bad first LZW code after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaFormatError("LZW code out of range")
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out.append(entry)
+        total += len(entry)
+        prev = entry
+    return np.frombuffer(b"".join(out), np.uint8)[:max_out]
+
+
+@_format_errors
+def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
+    """First frame of a GIF87a/89a -> (h, w, 3) uint8, or (h, w, 4) when
+    a Graphic Control Extension marks a transparent index (those pixels
+    get alpha 0). Animated GIFs decode their FIRST image descriptor only;
+    a frame smaller than the logical screen composites onto a canvas
+    filled with the background color. Interlaced frames deinterlace per
+    the spec's 4-pass row order."""
+    data = bytes(data)
+    w, h = gif_header(data)
+    if w * h > max_pixels:
+        raise MediaFormatError(f"declared {w}x{h} exceeds max_pixels")
+    packed = data[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        if pos + 3 * n > len(data):
+            raise MediaFormatError("truncated global color table")
+        gct = np.frombuffer(data[pos:pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension
+            if pos + 2 > len(data):
+                raise MediaFormatError("truncated GIF extension")
+            label = data[pos + 1]
+            body, pos = _gif_subblocks(data, pos + 2)
+            if label == 0xF9 and len(body) >= 4:  # Graphic Control Ext
+                transparent = body[3] if body[0] & 1 else None
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise MediaFormatError("truncated image descriptor")
+            ix, iy, iw, ih, ipacked = struct.unpack_from("<HHHHB",
+                                                         data, pos + 1)
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 7)
+                if pos + 3 * n > len(data):
+                    raise MediaFormatError("truncated local color table")
+                ct = np.frombuffer(data[pos:pos + 3 * n],
+                                   np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise MediaFormatError("GIF frame without any color table")
+            if iw == 0 or ih == 0 or ix + iw > w or iy + ih > h:
+                raise MediaFormatError("frame exceeds logical screen")
+            if pos >= len(data):
+                raise MediaFormatError("missing LZW min code size")
+            mcs = data[pos]
+            lzw, pos = _gif_subblocks(data, pos + 1)
+            idx = _lzw_decode(lzw, mcs, iw * ih)
+            if int(idx.max()) >= ct.shape[0]:
+                raise MediaFormatError("color index out of range")
+            rows = idx.reshape(ih, iw)
+            if ipacked & 0x40:  # interlaced: rows arrive pass-ordered
+                grid = np.empty((ih, iw), np.uint8)
+                r = 0
+                for start, step in _GIF_INTERLACE:
+                    nrows = len(range(start, ih, step))
+                    grid[start::step] = rows[r:r + nrows]
+                    r += nrows
+            else:
+                grid = rows
+            rgb = ct[grid]
+            if ix == 0 and iy == 0 and iw == w and ih == h:
+                out = rgb
+                tmask = grid == transparent if transparent is not None \
+                    else None
+            else:
+                bg_idx = data[11]
+                bg = (gct[bg_idx] if gct is not None
+                      and bg_idx < gct.shape[0] else np.zeros(3, np.uint8))
+                out = np.broadcast_to(bg, (h, w, 3)).copy()
+                out[iy:iy + ih, ix:ix + iw] = rgb
+                if transparent is not None:
+                    tmask = np.zeros((h, w), bool)
+                    tmask[iy:iy + ih, ix:ix + iw] = grid == transparent
+                else:
+                    tmask = None
+            if tmask is None:
+                return out
+            alpha = np.where(tmask, 0, 255).astype(np.uint8)
+            return np.dstack([out, alpha])
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise MediaFormatError(f"unknown GIF block 0x{block:02x}")
+    raise MediaFormatError("GIF contains no image data")
+
+
+# --------------------------------------------------------------------------
 # Sniffing + the operator-facing decode hooks
 # --------------------------------------------------------------------------
 
 def sniff(data: bytes) -> str | None:
-    """'jpeg' | 'bmp' | 'png' | 'wav' | None by magic bytes."""
+    """'jpeg' | 'bmp' | 'png' | 'gif' | 'wav' | None by magic bytes."""
     if data is None:
         return None
     head = bytes(data[:12])
@@ -1050,6 +1242,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if head.startswith(b"\xff\xd8\xff"):
         return "jpeg"
+    if head[:6] in GIF_SIGS:
+        return "gif"
     if head.startswith(b"BM") and len(data) >= 54:
         return "bmp"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
@@ -1064,6 +1258,8 @@ def decode_image(data: bytes) -> np.ndarray:
         return decode_png(data)
     if kind == "jpeg":
         return decode_jpeg(data)
+    if kind == "gif":
+        return decode_gif(data)
     if kind == "bmp":
         return decode_bmp(data)
     raise MediaFormatError("not a decodable image payload")
@@ -1091,6 +1287,9 @@ def decode_media_meta(payload: bytes, strict: bool = False) -> dict:
         if kind == "jpeg":
             w, h, _ = jpeg_header(payload)  # header walk, no entropy decode
             return {**base, "media_type": "image", "width": w, "height": h}
+        if kind == "gif":
+            w, h = gif_header(payload)  # header-only, no LZW decode
+            return {**base, "media_type": "image", "width": w, "height": h}
         if kind == "bmp":
             w, h, _, _, _ = bmp_header(payload)  # header-only, no pixels
             return {**base, "media_type": "image", "width": w, "height": h}
@@ -1117,7 +1316,7 @@ def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
         return np.zeros(dim)
     kind = sniff(payload)
     try:
-        if kind in ("png", "bmp", "jpeg"):
+        if kind in ("png", "bmp", "jpeg", "gif"):
             arr = decode_image(payload).astype(np.int64)
             if arr.shape[2] >= 3:
                 luma = (299 * arr[..., 0] + 587 * arr[..., 1]
@@ -1138,9 +1337,9 @@ def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
 
 
 def resize_image_payload(payload: bytes, width: int, height: int) -> bytes:
-    """The default ``resize_fn`` for ``resize_media``: decode (BMP or
-    PNG), nearest-neighbor resample, re-encode as 24-bit BMP (the
-    deterministic, compression-free output container)."""
+    """The default ``resize_fn`` for ``resize_media``: decode (any
+    sniffable image format), nearest-neighbor resample, re-encode as
+    24-bit BMP (the deterministic, compression-free output container)."""
     arr = decode_image(payload)
     src_h, src_w = arr.shape[:2]
     yi = (np.arange(height, dtype=np.int64) * src_h) // height

@@ -294,6 +294,52 @@ def _png_blob(w, h, depth, ctype, raw, interlace=0, plte=None, trns=None):
     return blob + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
 
 
+def _gif_blob(w, h, pal, indices, interlace=False, transparent=None):
+    """Hand-serialize a single-frame GIF89a with an 'uncompressed' LZW
+    stream (every pixel a root code, CLEAR before the width could grow)
+    — generation-side, so decode is never consulted for goldens."""
+    n_pal = pal.shape[0]
+    bits = max(1, (n_pal - 1).bit_length())
+    mcs = max(2, bits)
+    clear, width = 1 << mcs, mcs + 1
+    codes = [clear]
+    since = 0
+    flat = indices.ravel()
+    if interlace:
+        order = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            order.extend(range(start, h, step))
+        flat = indices[order].ravel()
+    for v in flat:
+        if since == clear - 2:
+            codes.append(clear)
+            since = 0
+        codes.append(int(v))
+        since += 1
+    codes.append(clear + 1)  # EOI
+    acc = nb = 0
+    lzw = bytearray()
+    for c in codes:  # LSB-first packing, constant width
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        lzw.append(acc & 0xFF)
+    gct = pal.tobytes() + b"\x00" * ((1 << bits) * 3 - 3 * n_pal)
+    blob = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | (bits - 1), 0, 0]) + gct)
+    if transparent is not None:
+        blob += b"\x21\xf9\x04" + bytes([1, 0, 0, transparent]) + b"\x00"
+    blob += (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+             + bytes([0x40 if interlace else 0, mcs]))
+    for s in range(0, len(lzw), 255):
+        blob += bytes([len(lzw[s:s + 255])]) + bytes(lzw[s:s + 255])
+    return blob + b"\x00\x3b"
+
+
 def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                 resize_wh: tuple[int, int] = (8, 6), n_frames: int = 4):
     """Deterministic multimodal corpus + GENERATION-TIME goldens.
@@ -306,12 +352,13 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     bytes -> decode recovers the generation truth end-to-end. Kinds cycle
     through BMP, the four truecolor/grey PNG color types, depth-4 palette
     PNG (PLTE, alternating tRNS alpha), Adam7-interlaced RGB PNG, 16-bit
-    RGB PNG (strip-16 high-byte golden), baseline
+    RGB PNG (strip-16 high-byte golden), GIF89a (rotating plain /
+    interlaced / transparent variants), baseline
     JPEG (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample
     rates, and plain binary blobs; one trailing row has a NULL payload
-    (null-handling coverage). The palette/interlaced payloads are
-    serialized by ``_png_blob`` (generation-side struct/zlib, not the
-    engine's encoder).
+    (null-handling coverage). The palette/interlaced PNG and all GIF
+    payloads are serialized by ``_png_blob`` / ``_gif_blob``
+    (generation-side struct/zlib/LZW, not the engine's decoders).
 
     JPEG is lossy, so its fixtures are drawn from the class where
     baseline JPEG is exactly lossless end-to-end: images flat per 8x8
@@ -328,7 +375,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
 
     rng = np.random.default_rng(seed)
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
-             "png_pal", "png_adam7", "png16",
+             "png_pal", "png_adam7", "png16", "gif",
              "jpeg_gray", "jpeg_420",
              "wav_mono", "wav_stereo", "bin"]
     rw, rh = resize_wh
@@ -354,7 +401,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
         meta = {"media_id": i, "media_type": "binary",
                 "n_bytes": 0, "width": None, "height": None,
                 "duration_ms": None}
-        if kind.startswith(("png", "jpeg")) or kind == "bmp":
+        if kind.startswith(("png", "jpeg")) or kind in ("bmp", "gif"):
             if kind == "jpeg_gray":
                 h = int(rng.integers(4, 41))
                 w = int(rng.integers(4, 41))
@@ -409,6 +456,26 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                                for row in src16)
                 src = (src16 >> 8).astype(np.uint8)
                 payload = _png_blob(w, h, 16, 2, raw)
+            elif kind == "gif":
+                # GIF89a: rotate through plain / interlaced / transparent
+                # variants; golden src = palette lookup (+ alpha column
+                # when a transparent index is declared)
+                w = int(rng.integers(4, 21))
+                h = int(rng.integers(4, 21))
+                n_pal = int(rng.integers(2, 17))
+                pal = rng.integers(0, 256, (n_pal, 3), dtype=np.uint8)
+                idx = rng.integers(0, n_pal, (h, w), dtype=np.uint8)
+                variant = (i // len(kinds)) % 3
+                interlace = variant == 1
+                transparent = int(rng.integers(0, n_pal)) \
+                    if variant == 2 else None
+                payload = _gif_blob(w, h, pal, idx, interlace=interlace,
+                                    transparent=transparent)
+                src = pal[idx]
+                if transparent is not None:
+                    alpha = np.where(idx == transparent, 0,
+                                     255).astype(np.uint8)
+                    src = np.dstack([src, alpha])
             elif kind == "png_adam7":
                 w = int(rng.integers(4, 21))
                 h = int(rng.integers(4, 21))

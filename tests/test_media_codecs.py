@@ -11,9 +11,10 @@ import numpy as np
 import pytest
 
 from geocode_spark.functions.media import (MediaFormatError, decode_bmp,
-                                           decode_media_meta, decode_png,
-                                           decode_wav, encode_bmp,
-                                           encode_png, encode_wav,
+                                           decode_gif, decode_media_meta,
+                                           decode_png, decode_wav,
+                                           encode_bmp, encode_png,
+                                           encode_wav, gif_header,
                                            media_features, parse_wav,
                                            png_ihdr, resize_image_payload,
                                            sniff, wav_frames)
@@ -235,6 +236,129 @@ class TestPngSpecBytes:
                 + _png_chunk(b"IDAT", z[:5]) + _png_chunk(b"IDAT", z[5:])
                 + _png_chunk(b"IEND", b""))
         assert (decode_png(blob)[:, :, 0] == [[1, 2], [3, 4]]).all()
+
+
+def _gif(w, h, gct, lzw, mcs, interlace=False, gce=None, gct_bits=None,
+         ix=0, iy=0, iw=None, ih=None, bg=0):
+    """Hand-serialize a single-frame GIF89a (spec bytes, independent of
+    any engine encoder). ``gct`` is raw RGB bytes, padded here to the
+    2^bits entries the size field declares."""
+    iw = w if iw is None else iw
+    ih = h if ih is None else ih
+    n = len(gct) // 3
+    bits = max(1, (n - 1).bit_length()) if gct_bits is None else gct_bits
+    pad = (1 << bits) * 3 - len(gct)
+    blob = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | (bits - 1), bg, 0]) + gct + b"\x00" * pad)
+    if gce is not None:
+        blob += b"\x21\xf9\x04" + bytes(gce) + b"\x00"
+    blob += (b"\x2c" + struct.pack("<HHHH", ix, iy, iw, ih)
+             + bytes([0x40 if interlace else 0]) + bytes([mcs]))
+    for s in range(0, len(lzw), 255):
+        chunk = lzw[s:s + 255]
+        blob += bytes([len(chunk)]) + chunk
+    return blob + b"\x00\x3b"
+
+
+def _lzw_pack(codes_widths):
+    """[(code, width), ...] -> LSB-first packed bytes per the GIF spec."""
+    acc = nb = 0
+    out = bytearray()
+    for code, width in codes_widths:
+        acc |= code << nb
+        nb += width
+        while nb >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _uncompressed_codes(indices, mcs):
+    """Emit every pixel as a root code, CLEARing often enough that the
+    code width never grows — a legal 'uncompressed GIF' stream."""
+    clear, width = 1 << mcs, mcs + 1
+    codes = [(clear, width)]
+    since = 0
+    for v in indices:
+        if since == clear - 2:
+            codes.append((clear, width))
+            since = 0
+        codes.append((int(v), width))
+        since += 1
+    codes.append((clear + 1, width))  # EOI
+    return codes
+
+
+class TestGifSpecBytes:
+    PAL4 = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+
+    def test_lzw_table_building_stream(self):
+        # Hand-derived compressed stream for indices [1,1,1,1,1], mcs=2:
+        # CLEAR, 1, then KwKwK code 6 ("11") twice; the second append
+        # fills the 3-bit table so EOI is read at 4 bits
+        lzw = _lzw_pack([(4, 3), (1, 3), (6, 3), (6, 3), (5, 4)])
+        arr = decode_gif(_gif(5, 1, self.PAL4, lzw, 2))
+        assert arr.shape == (1, 5, 3)
+        assert (arr == np.array([0, 255, 0], np.uint8)).all()
+
+    def test_uncompressed_stream_with_clear_resets(self):
+        idx = np.arange(12, dtype=np.uint8) % 4
+        lzw = _lzw_pack(_uncompressed_codes(idx, 2))
+        arr = decode_gif(_gif(4, 3, self.PAL4, lzw, 2))
+        pal = np.frombuffer(self.PAL4, np.uint8).reshape(4, 3)
+        assert (arr == pal[idx.reshape(3, 4)]).all()
+
+    def test_interlaced_rows_reorder(self):
+        # 1x5 interlaced: row data arrives in pass order 0,4,2,1,3
+        want = np.array([0, 1, 2, 3, 0], np.uint8)   # top-to-bottom
+        arrival = want[[0, 4, 2, 1, 3]]
+        lzw = _lzw_pack(_uncompressed_codes(arrival, 2))
+        arr = decode_gif(_gif(1, 5, self.PAL4, lzw, 2, interlace=True))
+        pal = np.frombuffer(self.PAL4, np.uint8).reshape(4, 3)
+        assert (arr == pal[want][:, None, :]).all()
+
+    def test_transparency_yields_alpha_channel(self):
+        idx = np.array([0, 3, 1, 3], np.uint8)
+        lzw = _lzw_pack(_uncompressed_codes(idx, 2))
+        arr = decode_gif(_gif(4, 1, self.PAL4, lzw, 2,
+                              gce=[0x01, 0, 0, 3]))  # index 3 transparent
+        assert arr.shape == (1, 4, 4)
+        assert (arr[0, :, 3] == [255, 0, 255, 0]).all()
+        assert (arr[0, 1, :3] == [9, 9, 9]).all()  # RGB kept under alpha 0
+
+    def test_subframe_composites_on_background(self):
+        # 1x1 frame at (1,0) inside a 3x1 screen, background index 2
+        lzw = _lzw_pack(_uncompressed_codes([1], 2))
+        arr = decode_gif(_gif(3, 1, self.PAL4, lzw, 2, bg=2,
+                              ix=1, iy=0, iw=1, ih=1))
+        assert (arr[0, 0] == [0, 0, 255]).all()   # background
+        assert (arr[0, 1] == [0, 255, 0]).all()   # the frame pixel
+        assert (arr[0, 2] == [0, 0, 255]).all()
+
+    def test_header_only_meta_and_sniff(self):
+        lzw = _lzw_pack(_uncompressed_codes([0], 2))
+        blob = _gif(7, 9, self.PAL4, lzw, 2)
+        assert sniff(blob) == "gif"
+        assert gif_header(blob) == (7, 9)
+        meta = decode_media_meta(blob)
+        assert (meta["media_type"], meta["width"], meta["height"]) == \
+            ("image", 7, 9)
+
+    def test_errors_truncated_and_out_of_range(self):
+        # color index beyond the 4-entry table: mcs=3 roots reach 7
+        lzw = _lzw_pack(_uncompressed_codes([5], 3))
+        with pytest.raises(MediaFormatError, match="out of range"):
+            decode_gif(_gif(1, 1, self.PAL4, lzw, 3, gct_bits=2))
+        # stream too short for the declared frame
+        lzw = _lzw_pack(_uncompressed_codes([1], 2))
+        with pytest.raises(MediaFormatError, match="before frame is full"):
+            decode_gif(_gif(2, 2, self.PAL4, lzw, 2))
+        with pytest.raises(MediaFormatError, match="no image data"):
+            decode_gif(b"GIF89a" + struct.pack("<HH", 1, 1)
+                       + bytes([0, 0, 0]) + b"\x3b")
 
 
 class TestWavSpecBytes:
@@ -649,8 +773,11 @@ class TestMutationFuzz:
         rng = np.random.default_rng(99)
         img = rng.integers(0, 256, (12, 17, 3), dtype=np.uint8)
         pcm = rng.integers(-3000, 3000, (800, 2)).astype(np.int16)
+        gif = _gif(6, 4, TestGifSpecBytes.PAL4,
+                   _lzw_pack(_uncompressed_codes(
+                       rng.integers(0, 4, 24, dtype=np.uint8), 2)), 2)
         return [encode_png(img), encode_bmp(img),
-                encode_wav(pcm, 16000),
+                encode_wav(pcm, 16000), gif,
                 encode_jpeg(np.repeat(np.repeat(
                     rng.integers(0, 256, (2, 3), dtype=np.uint8),
                     8, 0), 8, 1))]
