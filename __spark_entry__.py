@@ -865,7 +865,7 @@ def q_media_resize(spark, sf_dir):
                                    "png_ga", "png_rgba",
                                    "png_pal", "png_adam7", "png16",
                                    "gif",
-                                   "jpeg_gray", "jpeg_420"))
+                                   "jpeg_gray", "jpeg_420", "jpeg_prog"))
     out = resize_media(media, binary_col="payload", width=8, height=6,
                        strict=True)
     return out.select("media_id",

@@ -24,13 +24,14 @@ are implemented directly:
 * WAV  — RIFF/WAVE with word-aligned chunk walk, PCM (format 1) fmt
          parsing, sample-accurate duration, block-aligned frame
          slicing, 16-bit sample decode.
-* JPEG — ITU-T T.81 baseline sequential DCT with JFIF color: marker
-         walk, 8/16-bit DQT, canonical-Huffman DHT, SOF0 (1- or
-         3-component, arbitrary 1-4 sampling factors), DRI/RSTn
-         restarts, byte-unstuffed single interleaved scan, vectorized
+* JPEG — ITU-T T.81 DCT with JFIF color: marker walk, 8/16-bit DQT,
+         canonical-Huffman DHT, SOF0 baseline (1- or 3-component,
+         arbitrary 1-4 sampling factors, interleaved or per-component
+         scans) AND SOF2 progressive (spectral selection + successive
+         approximation per Annex G: DC first/refine, AC first/refine
+         with EOB runs), DRI/RSTn restarts, byte-unstuffing, vectorized
          8x8 IDCT, box-replication upsampling, JFIF YCbCr->RGB.
-         Progressive/arithmetic/hierarchical/12-bit frames are rejected
-         explicitly.
+         Arithmetic/hierarchical/12-bit frames are rejected explicitly.
 
 Encoders (BMP 24-bit, PNG filter-0, WAV PCM16, baseline JFIF from YCbCr
 planes) exist so the resize operator can emit real image bytes and so
@@ -473,15 +474,17 @@ def wav_frames(data: bytes, n: int) -> list[bytes]:
 # --------------------------------------------------------------------------
 # JPEG (baseline sequential DCT, ITU-T T.81 / JFIF)
 # --------------------------------------------------------------------------
-# From-scratch baseline decoder + encoder on stdlib+numpy, same spirit as
-# the 7z/Avro/PNG codecs: marker segment walk, DQT (8/16-bit), DHT
-# (canonical Huffman), SOF0, DRI/RSTn restart segments, single interleaved
-# SOS scan, byte-unstuffing, Huffman entropy decode, dequantize, vectorized
-# 8x8 IDCT over all blocks at once, box-replication chroma upsampling,
-# JFIF YCbCr->RGB. Progressive (SOF2), arithmetic coding, hierarchical and
-# 12-bit frames are explicitly rejected as MediaFormatError. The entropy
-# decode is necessarily a per-symbol Python loop (bit-serial Huffman); the
-# numeric stages (dequant, IDCT, color convert) are whole-image numpy.
+# From-scratch decoder + encoder on stdlib+numpy, same spirit as the
+# 7z/Avro/PNG codecs: marker segment walk, DQT (8/16-bit), DHT (canonical
+# Huffman), SOF0 baseline (interleaved or per-component scans) AND SOF2
+# progressive (spectral selection + successive approximation, T.81 Annex
+# G), DRI/RSTn restart segments, byte-unstuffing, Huffman entropy decode
+# into per-component coefficient grids, dequantize, vectorized 8x8 IDCT
+# over all blocks at once, box-replication chroma upsampling, JFIF
+# YCbCr->RGB. Arithmetic coding, hierarchical and 12-bit frames are
+# explicitly rejected as MediaFormatError. The entropy decode is
+# necessarily a per-symbol Python loop (bit-serial Huffman); the numeric
+# stages (dequant, IDCT, color convert) are whole-image numpy.
 
 # zigzag scan: position k in the coded stream -> row-major coefficient index
 _ZZ = np.array([
@@ -492,7 +495,7 @@ _ZZ = np.array([
     dtype=np.int64)
 
 _SOF_UNSUPPORTED = {
-    0xC1: "extended sequential", 0xC2: "progressive", 0xC3: "lossless",
+    0xC1: "extended sequential", 0xC3: "lossless",
     0xC5: "differential sequential", 0xC6: "differential progressive",
     0xC7: "differential lossless", 0xC9: "arithmetic sequential",
     0xCA: "arithmetic progressive", 0xCB: "arithmetic lossless",
@@ -616,10 +619,12 @@ def jpeg_header(data: bytes) -> tuple[int, int, int]:
     raise MediaFormatError("no SOF before SOS")
 
 
-def _entropy_segments(data: bytes, pos: int) -> list:
+def _entropy_segments(data: bytes, pos: int) -> tuple[list, int]:
     """Unstuff the entropy-coded data starting at ``pos``: returns the
     byte segments delimited by RSTn markers (restart boundaries are
-    byte-aligned; DC predictors reset per segment)."""
+    byte-aligned; DC predictors reset per segment) plus the offset of
+    the terminating marker's 0xFF (so multi-scan files can resume the
+    marker walk there)."""
     segs, cur, i, n = [], bytearray(), pos, len(data)
     while i < n:
         b = data[i]
@@ -640,23 +645,50 @@ def _entropy_segments(data: bytes, pos: int) -> list:
         else:
             break  # terminating marker (EOI or next header)
     segs.append(bytes(cur))
-    return segs
+    return segs, i
 
 
 @_format_errors
 def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
-    """Baseline JFIF JPEG -> (h, w, ch) uint8; ch=1 for grayscale frames,
-    ch=3 (RGB) for YCbCr frames."""
+    """JFIF JPEG -> (h, w, ch) uint8; ch=1 for grayscale frames, ch=3
+    (RGB) for YCbCr frames. Supports baseline sequential (SOF0; one
+    interleaved scan or a sequence of per-component scans) and
+    progressive (SOF2; spectral selection + successive approximation
+    per T.81 Annex G — DC first/refine interleaved or not, AC
+    first/refine with EOB runs), with DRI/RSTn restarts in every scan
+    shape. Arithmetic, lossless, hierarchical and 12-bit frames are
+    rejected explicitly."""
     data = bytes(data)
+    if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
+        raise MediaFormatError("not a JPEG (no SOI)")
     qt, huff = {}, {}
     frame = None
     restart = 0
-    scan = None
-    scan_pos = None
-    for marker, body, after in _jpeg_segments(data):
+    scans_done = 0
+    pos, n = 2, len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise MediaFormatError(f"expected marker at {pos}")
+        while pos < n and data[pos] == 0xFF:
+            pos += 1  # fill bytes
+        if pos >= n:
+            break
+        marker = data[pos]
+        pos += 1
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+            continue
+        if pos + 2 > n:
+            raise MediaFormatError("truncated marker segment")
+        (ln,) = struct.unpack_from(">H", data, pos)
+        if ln < 2 or pos + ln > n:
+            raise MediaFormatError("truncated marker segment")
+        body = data[pos + 2:pos + ln]
+        pos += ln
         if marker in _SOF_UNSUPPORTED:
             raise MediaFormatError(
-                f"only baseline sequential supported "
+                f"only sequential/progressive DCT supported "
                 f"(got SOF {_SOF_UNSUPPORTED[marker]})")
         if marker == 0xDB:  # DQT, possibly several tables
             p = 0
@@ -687,7 +719,9 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 p += 17 + nv
             if p != len(body):
                 raise MediaFormatError("trailing DHT bytes")
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            if frame is not None:
+                raise MediaFormatError("multiple SOF frames")
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise MediaFormatError(f"{prec}-bit precision unsupported")
@@ -704,100 +738,88 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                 if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise MediaFormatError("bad sampling factors")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
+            if ncomp == 1:
+                # a single-component frame lays out as plain 8x8 blocks
+                # regardless of its declared sampling factors (T.81 A.2.2)
+                comps[0]["h"] = comps[0]["v"] = 1
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            for c in comps:
+                # full interleaved block grid (incl. MCU padding); the
+                # real-data sub-grid is bw x bh (non-interleaved scans)
+                c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                                     np.int64)
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["bw"] = -(-cw // 8)
+                c["bh"] = -(-ch // 8)
+            frame = {"w": w, "h": h, "comps": comps, "hmax": hmax,
+                     "vmax": vmax, "mcus_x": mcus_x, "mcus_y": mcus_y,
+                     "progressive": marker == 0xC2}
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode this scan, then keep walking
             if frame is None:
                 raise MediaFormatError("SOS before SOF")
             ns = body[0]
-            if ns != len(frame["comps"]):
-                raise MediaFormatError(
-                    "only a single interleaved scan is supported")
-            sel = {}
+            if len(body) < 1 + 2 * ns + 3 or not 1 <= ns <= 4:
+                raise MediaFormatError("bad SOS header")
+            scomps = []
+            byid = {c["id"]: c for c in frame["comps"]}
             for c in range(ns):
                 cs, tt = struct.unpack_from(">BB", body, 1 + 2 * c)
-                sel[cs] = (tt >> 4, tt & 15)
+                if cs not in byid:
+                    raise MediaFormatError(
+                        f"scan names unknown component {cs}")
+                scomps.append((byid[cs], tt >> 4, tt & 15))
             ss, se, ahal = struct.unpack_from(">BBB", body, 1 + 2 * ns)
-            if ss != 0 or se != 63 or ahal != 0:
-                # Ah/Al != 0 is successive-approximation semantics; decoding
-                # it as plain baseline would produce silently wrong pixels
-                raise MediaFormatError("non-baseline spectral selection")
-            scan = sel
-            scan_pos = after
-    if scan is None:
+            ah, al = ahal >> 4, ahal & 15
+            if not frame["progressive"]:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise MediaFormatError(
+                        "spectral selection in a sequential frame")
+            else:
+                if ss == 0:
+                    if se != 0:
+                        raise MediaFormatError(
+                            "progressive DC scan with Se>0")
+                elif ns != 1 or not ss <= se <= 63:
+                    raise MediaFormatError("bad progressive AC band")
+                if al > 13 or (ah and ah != al + 1):
+                    raise MediaFormatError("bad successive approximation")
+            needs_dc = ss == 0 and (not frame["progressive"] or ah == 0)
+            needs_ac = (se > 0 if not frame["progressive"]
+                        else ss > 0)
+            for comp, td, ta in scomps:
+                if needs_dc and (0, td) not in huff:
+                    raise MediaFormatError("missing DC Huffman table")
+                if needs_ac and (1, ta) not in huff:
+                    raise MediaFormatError("missing AC Huffman table")
+            segs, pos = _entropy_segments(data, pos)
+            _jpeg_decode_scan(segs, scomps, frame, huff, restart,
+                              ss, se, ah, al)
+            scans_done += 1
+    if frame is None or scans_done == 0:
         raise MediaFormatError("no SOS scan")
 
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    if len(comps) == 1:
-        # non-interleaved single-component scan: MCU is one block and the
-        # declared sampling factors do not shape the layout (T.81 A.2.2)
-        hmax = vmax = comps[0]["h"] = comps[0]["v"] = 1
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
+    hmax, vmax = frame["hmax"], frame["vmax"]
+    out_planes = []
     for c in comps:
         if c["tq"] not in qt:
             raise MediaFormatError(f"missing quant table {c['tq']}")
-        if c["id"] not in scan:
-            raise MediaFormatError(f"component {c['id']} missing from scan")
-        td, ta = scan[c["id"]]
-        if (0, td) not in huff or (1, ta) not in huff:
-            raise MediaFormatError("missing Huffman table")
-        c["dc"], c["ac"] = huff[(0, td)], huff[(1, ta)]
-        c["blocks"] = []
-
-    segs = _entropy_segments(data, scan_pos)
-    seg_i = 0
-    br = _BitReader(segs[0])
-    preds = {c["id"]: 0 for c in comps}
-    n_mcus = mcus_x * mcus_y
-    for m in range(n_mcus):
-        if restart and m and m % restart == 0:
-            seg_i += 1
-            if seg_i >= len(segs):
-                raise MediaFormatError("missing restart segment")
-            br = _BitReader(segs[seg_i])
-            preds = {c["id"]: 0 for c in comps}
-        for c in comps:
-            for _ in range(c["h"] * c["v"]):
-                t = br.huff(c["dc"])
-                if t > 11:
-                    raise MediaFormatError("DC category out of range")
-                diff = _extend(br.receive(t), t)
-                preds[c["id"]] += diff
-                coef = np.zeros(64, np.int64)
-                coef[0] = preds[c["id"]]
-                k = 1
-                while k < 64:
-                    rs = br.huff(c["ac"])
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise MediaFormatError("AC run past block end")
-                    coef[k] = _extend(br.receive(s), s)
-                    k += 1
-                c["blocks"].append(coef)
-
-    out_planes = []
-    for c in comps:
-        blocks = np.stack(c["blocks"])          # (n, 64) zigzag-quantized
-        deq = blocks * qt[c["tq"]][None, :]
+        rows, cols = c["coef"].shape[:2]
+        deq = c["coef"].reshape(-1, 64) * qt[c["tq"]][None, :]
         rm = np.empty_like(deq)
         rm[:, _ZZ] = deq                        # zigzag -> row-major
         f = np.einsum("ux,nuv,vy->nxy", _DCT_A,
                       rm.reshape(-1, 8, 8).astype(np.float64), _DCT_A)
         px = np.clip(np.round(f) + 128.0, 0, 255).astype(np.uint8)
-        grid = px.reshape(mcus_y, mcus_x, c["v"], c["h"], 8, 8)
-        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(
-            mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        plane = px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(rows * 8, cols * 8)
         cw = -(-w * c["h"] // hmax)
         chh = -(-h * c["v"] // vmax)
         plane = plane[:chh, :cw]
@@ -818,6 +840,152 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _ac_refine_block(br: _BitReader, cb: np.ndarray, actab: dict,
+                     ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3): add one
+    precision bit to already-nonzero coefficients in the band, insert
+    newly-significant +-(1<<al) coefficients. ``cb`` is the block's
+    zigzag-ordered coefficient vector, mutated in place; returns the
+    updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.huff(actab)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.receive(r)
+                    break  # the EOB-region sweep below finishes the block
+                # r == 15: ZRL — skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise MediaFormatError("AC refine magnitude != 1")
+                newval = p1 if br.bit() else -p1
+            while k <= se:
+                v = int(cb[k])
+                if v:
+                    # correction bit for every nonzero-history coefficient
+                    if br.bit() and (abs(v) & p1) == 0:
+                        cb[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                cb[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(cb[k])
+            if v and br.bit() and (abs(v) & p1) == 0:
+                cb[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _jpeg_decode_scan(segs: list, scomps: list, frame: dict, huff: dict,
+                      restart: int, ss: int, se: int, ah: int,
+                      al: int) -> None:
+    """Entropy-decode one scan into the components' coefficient grids.
+
+    Handles every scan shape both frame types produce: sequential full
+    blocks (interleaved MCUs or one component's own block raster),
+    progressive DC first/refine (any interleave), progressive AC
+    first/refine (always single-component), with restart intervals
+    resetting DC predictors and the EOB run."""
+    progressive = frame["progressive"]
+    interleaved = len(scomps) > 1
+    if interleaved:
+        n_units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        c0 = scomps[0][0]
+        n_units = c0["bw"] * c0["bh"]
+    preds = {c["id"]: 0 for c, _, _ in scomps}
+    eobrun = 0
+    seg_i = 0
+    br = _BitReader(segs[0])
+    for m in range(n_units):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise MediaFormatError("missing restart segment")
+            br = _BitReader(segs[seg_i])
+            preds = {c["id"]: 0 for c, _, _ in scomps}
+            eobrun = 0
+        for comp, td, ta in scomps:
+            if interleaved:
+                mx, my = m % frame["mcus_x"], m // frame["mcus_x"]
+                blocks = [(my * comp["v"] + by, mx * comp["h"] + bx)
+                          for by in range(comp["v"])
+                          for bx in range(comp["h"])]
+            else:
+                blocks = [(m // comp["bw"], m % comp["bw"])]
+            coef = comp["coef"]
+            for row, col in blocks:
+                cb = coef[row, col]
+                if not progressive:
+                    t = br.huff(huff[(0, td)])
+                    if t > 11:
+                        raise MediaFormatError("DC category out of range")
+                    preds[comp["id"]] += _extend(br.receive(t), t)
+                    cb[0] = preds[comp["id"]]
+                    actab = huff[(1, ta)]
+                    k = 1
+                    while k < 64:
+                        rs = br.huff(actab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise MediaFormatError("AC run past block end")
+                        cb[k] = _extend(br.receive(s), s)
+                        k += 1
+                elif ss == 0 and ah == 0:       # DC first
+                    t = br.huff(huff[(0, td)])
+                    if t > 11:
+                        raise MediaFormatError("DC category out of range")
+                    preds[comp["id"]] += _extend(br.receive(t), t)
+                    cb[0] = preds[comp["id"]] << al
+                elif ss == 0:                   # DC refine: one raw bit
+                    if br.bit():
+                        cb[0] = int(cb[0]) | (1 << al)
+                elif ah == 0:                   # AC first (band Ss..Se)
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    actab = huff[(1, ta)]
+                    k = ss
+                    while k <= se:
+                        rs = br.huff(actab)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.receive(r)
+                            break  # EOB run: this block is done
+                        k += r
+                        if k > se:
+                            raise MediaFormatError("AC run past band end")
+                        cb[k] = _extend(br.receive(s), s) << al
+                        k += 1
+                else:                           # AC refine
+                    eobrun = _ac_refine_block(br, cb, huff[(1, ta)],
+                                              ss, se, al, eobrun)
 
 
 # ---- encoder ------------------------------------------------------------

@@ -3,7 +3,7 @@ typed metadata.
 
 The decode layer is REAL: from-scratch stdlib codecs (functions/media.py
 — BMP, PNG incl. palette/tRNS, Adam7 interlacing and 16-bit depth via
-zlib, GIF87a/89a with a full LZW decoder, baseline
+zlib, GIF87a/89a with a full LZW decoder, baseline AND progressive
 JFIF JPEG, RIFF/WAVE PCM) back every default
 hook, so ``with_media_meta`` reports actual pixel dimensions and
 sample-accurate audio durations, ``extract_features`` histograms decoded

@@ -340,6 +340,80 @@ def _gif_blob(w, h, pal, indices, interlace=False, transparent=None):
     return blob + b"\x00\x3b"
 
 
+def _jpeg_prog_blob(y: np.ndarray) -> bytes:
+    """Hand-serialize a PROGRESSIVE (SOF2) grayscale JPEG for a
+    flat-8x8-tile image: DC-first (Al=1) + DC-refine scans carry the
+    whole picture, then one AC scan that is a single EOB run over every
+    block (all ACs are zero in this class). Generation-side: struct +
+    a local MSB-first bit packer with byte stuffing, never the decoder.
+    Quantization is exact (DC step 8, flat tile -> DC = v-128), so
+    decode must recover every source value bit-for-bit."""
+    h, w = y.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    assert h % 8 == 0 and w % 8 == 0, "flat-tile class is 8-aligned"
+    dcs = (y[::8, ::8].astype(np.int64) - 128).ravel()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    def scan_bits(emit):
+        acc, nb, out = 0, 0, bytearray()
+        def put(code, width):
+            nonlocal acc, nb
+            for i in range(width - 1, -1, -1):
+                acc = (acc << 1) | ((code >> i) & 1)
+                nb += 1
+                if nb == 8:
+                    out.append(acc)
+                    if acc == 0xFF:
+                        out.append(0x00)  # byte stuffing
+                    acc, nb = 0, 0
+        emit(put)
+        while nb:  # 1-pad the final byte
+            put(1, 1)
+        return bytes(out)
+
+    def dc_first(put):
+        prev = 0
+        for dc in dcs:
+            d1 = int(dc) >> 1          # arithmetic shift, Al=1 semantics
+            diff = d1 - prev
+            prev = d1
+            cat = abs(diff).bit_length()
+            put(cat, 4)                # DC table: category c -> code c
+            if cat:
+                put(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+
+    def dc_refine(put):
+        for dc in dcs:
+            put(int(dc) & 1, 1)
+
+    def ac_eobrun(put):
+        n_blocks = bh * bw
+        r = n_blocks.bit_length() - 1  # EOBRUN = (1<<r) + extra covers all
+        put(r, 4)                      # AC table: EOB(r) -> code r
+        if r:
+            put(n_blocks - (1 << r), r)
+
+    dqt = bytes([0x00, 8]) + bytes([1] * 63)
+    dc_tab = bytes([0x00]) + bytes([0, 0, 0, 12] + [0] * 12) \
+        + bytes(range(12))                       # 12 categories, 4 bits
+    ac_tab = bytes([0x10]) + bytes([0, 0, 0, 15] + [0] * 12) \
+        + bytes((r << 4) for r in range(15))     # EOB(0..14), 4 bits
+    return (b"\xff\xd8" + seg(0xDB, dqt)
+            + seg(0xC2, struct.pack(">BHHB", 8, h, w, 1)
+                  + struct.pack(">BBB", 1, 0x11, 0))
+            + seg(0xC4, dc_tab + ac_tab)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+            + scan_bits(dc_first)
+            + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+            + scan_bits(dc_refine)
+            + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00]))
+            + scan_bits(ac_eobrun)
+            + b"\xff\xd9")
+
+
 def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                 resize_wh: tuple[int, int] = (8, 6), n_frames: int = 4):
     """Deterministic multimodal corpus + GENERATION-TIME goldens.
@@ -354,11 +428,13 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     PNG (PLTE, alternating tRNS alpha), Adam7-interlaced RGB PNG, 16-bit
     RGB PNG (strip-16 high-byte golden), GIF89a (rotating plain /
     interlaced / transparent variants), baseline
-    JPEG (grayscale and 4:2:0 YCbCr), mono/stereo WAV at several sample
+    JPEG (grayscale and 4:2:0 YCbCr), progressive JPEG (SOF2 flat
+    tiles), mono/stereo WAV at several sample
     rates, and plain binary blobs; one trailing row has a NULL payload
-    (null-handling coverage). The palette/interlaced PNG and all GIF
-    payloads are serialized by ``_png_blob`` / ``_gif_blob``
-    (generation-side struct/zlib/LZW, not the engine's decoders).
+    (null-handling coverage). The palette/interlaced PNG, GIF and
+    progressive-JPEG payloads are serialized by ``_png_blob`` /
+    ``_gif_blob`` / ``_jpeg_prog_blob`` (generation-side
+    struct/zlib/LZW/bit-packing, not the engine's decoders).
 
     JPEG is lossy, so its fixtures are drawn from the class where
     baseline JPEG is exactly lossless end-to-end: images flat per 8x8
@@ -376,7 +452,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     rng = np.random.default_rng(seed)
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
              "png_pal", "png_adam7", "png16", "gif",
-             "jpeg_gray", "jpeg_420",
+             "jpeg_gray", "jpeg_420", "jpeg_prog",
              "wav_mono", "wav_stereo", "bin"]
     rw, rh = resize_wh
 
@@ -407,6 +483,13 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                 w = int(rng.integers(4, 41))
                 src = flat_tiles(h, w, 8)[:, :, None]
                 payload = encode_jpeg(src[:, :, 0])
+            elif kind == "jpeg_prog":
+                # progressive (SOF2) flat tiles, hand-serialized by
+                # _jpeg_prog_blob — exact DC-only recovery
+                h = int(rng.integers(1, 6)) * 8
+                w = int(rng.integers(1, 6)) * 8
+                src = flat_tiles(h, w, 8)[:, :, None]
+                payload = _jpeg_prog_blob(src[:, :, 0])
             elif kind == "jpeg_420":
                 h = int(rng.integers(8, 49))
                 w = int(rng.integers(8, 49))

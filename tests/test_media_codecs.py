@@ -633,20 +633,98 @@ class TestJpegSpecBytes:
         from geocode_spark.functions.media import _entropy_segments
 
         raw = b"\x12\xff\x00\x34\xff\xd0\x56\xff\xd9trailing"
-        segs = _entropy_segments(raw, 0)
+        segs, end = _entropy_segments(raw, 0)
         assert segs == [b"\x12\xff\x34", b"\x56"]
+        assert raw[end:end + 2] == b"\xff\xd9"  # resumes at the terminator
 
-    def test_progressive_rejected_but_header_readable(self):
+    @staticmethod
+    def _bits(s):
+        """'0101...' MSB-first -> bytes, 1-padded (T.81 scan padding)."""
+        s = s + "1" * (-len(s) % 8)
+        return bytes(int(s[i:i + 8], 2) for i in range(0, len(s), 8))
+
+    @staticmethod
+    def _idct_expected(F, qtab):
+        """Independent transcription of dequant + T.81 IDCT + level
+        shift for one block (F zigzag-free, row-major)."""
+        x = np.arange(8)
+        C = np.where(x == 0, 1 / np.sqrt(2), 1.0)
+        out = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                fv = F[u, v] * qtab[u, v]
+                if fv:
+                    out += (C[u] * C[v] / 4.0 * fv
+                            * np.outer(np.cos((2 * x + 1) * u * np.pi / 16),
+                                       np.cos((2 * x + 1) * v * np.pi / 16)))
+        return np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+
+    def test_progressive_full_pipeline(self):
+        """Hand-built SOF2 grayscale 16x8 (two blocks) exercising every
+        progressive scan kind: DC first (Al=1), DC refine, AC first with
+        an EOB run skipping block 1, AC refine adding a precision bit.
+        Expected pixels computed by an inline IDCT transcription."""
         from geocode_spark.functions.media import decode_jpeg, jpeg_header
 
+        # target coefficients (quantized, zigzag k / row-major (u,v)):
+        #   block0: DC=-28, k=1 -> (0,1) = 5 ; block1: DC=-16, AC all 0
+        dc_tab = _dht(0, 0, [0, 2] + [0] * 14, [3, 4])   # 00->cat3 01->cat4
+        ac_tab = _dht(1, 0, [0, 3] + [0] * 14, [0x00, 0x02, 0x10])
+        dqt = bytes([0x00, 8]) + bytes([1] * 63)         # DC step 8, AC 1
+        # scan 1 — DC first, Al=1: sends -14 (cat4, bits 0001) then
+        # diff 6 (cat3, bits 110): (-14<<1, (-14+6)<<1) = (-28, -16)
+        s_dc1 = self._bits("01" + "0001" + "00" + "110")
+        # scan 2 — DC refine, Al=0: both low bits are 0
+        s_dc2 = self._bits("00")
+        # scan 3 — AC first, Al=1: block0 codes (r=0,s=2) value 2 then
+        # EOB(r=1)+0 extra -> eobrun=1 skips block1 entirely
+        s_ac1 = self._bits("01" + "10" + "10" + "0")
+        # scan 4 — AC refine, Al=0: block0 EOB then a correction bit 1
+        # lifts 2<<1=4 to 5; block1 EOB with nothing to correct
+        s_ac2 = self._bits("00" + "1" + "00")
         data = (b"\xff\xd8"
-                + _seg(0xC2, struct.pack(">BHHB", 8, 40, 30, 1)
+                + _seg(0xDB, dqt)
+                + _seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1)
                        + struct.pack(">BBB", 1, 0x11, 0))
-                + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-                + b"\x00\xff\xd9")
-        assert jpeg_header(data) == (30, 40, 1)  # meta path still works
-        with pytest.raises(MediaFormatError, match="baseline"):
-            decode_jpeg(data)
+                + _seg(0xC4, dc_tab + ac_tab)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + s_dc1
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + s_dc2
+                + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01])) + s_ac1
+                + _seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10])) + s_ac2
+                + b"\xff\xd9")
+        assert jpeg_header(data) == (16, 8, 1)
+        out = decode_jpeg(data)[:, :, 0]
+        qtab = np.ones((8, 8))
+        qtab[0, 0] = 8
+        F0 = np.zeros((8, 8))
+        F0[0, 0], F0[0, 1] = -28, 5
+        F1 = np.zeros((8, 8))
+        F1[0, 0] = -16
+        want = np.hstack([self._idct_expected(F0, qtab),
+                          self._idct_expected(F1, qtab)])
+        assert np.array_equal(out, want)
+
+    def test_progressive_dc_only_scan_sequence(self):
+        """A progressive file whose scans cover only Ss=0 (DC) still
+        decodes — AC coefficients remain zero (flat blocks)."""
+        from geocode_spark.functions.media import decode_jpeg
+
+        dc_tab = _dht(0, 0, [0, 2] + [0] * 14, [3, 4])
+        dqt = bytes([0x00, 8]) + bytes([1] * 63)
+        s_dc = self._bits("01" + "0001" + "00" + "110")  # -14, then +6
+        s_ref = self._bits("00")
+        data = (b"\xff\xd8"
+                + _seg(0xDB, dqt)
+                + _seg(0xC2, struct.pack(">BHHB", 8, 8, 16, 1)
+                       + struct.pack(">BBB", 1, 0x11, 0))
+                + _seg(0xC4, dc_tab)
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01])) + s_dc
+                + _seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10])) + s_ref
+                + b"\xff\xd9")
+        out = decode_jpeg(data)[:, :, 0]
+        # flat blocks at 128 + round(-28*8/8) = 100 and 128-16 = 112
+        assert (out[:, :8] == 100).all()
+        assert (out[:, 8:] == 112).all()
 
     def test_rejections(self):
         from geocode_spark.functions.media import decode_jpeg
@@ -776,11 +854,12 @@ class TestMutationFuzz:
         gif = _gif(6, 4, TestGifSpecBytes.PAL4,
                    _lzw_pack(_uncompressed_codes(
                        rng.integers(0, 4, 24, dtype=np.uint8), 2)), 2)
+        from geocode_spark.sources.fixtures import _jpeg_prog_blob
+        tiles = rng.integers(0, 256, (2, 3), dtype=np.uint8)
         return [encode_png(img), encode_bmp(img),
                 encode_wav(pcm, 16000), gif,
-                encode_jpeg(np.repeat(np.repeat(
-                    rng.integers(0, 256, (2, 3), dtype=np.uint8),
-                    8, 0), 8, 1))]
+                encode_jpeg(np.repeat(np.repeat(tiles, 8, 0), 8, 1)),
+                _jpeg_prog_blob(np.repeat(np.repeat(tiles, 8, 0), 8, 1))]
 
     def test_mutations_never_escape_taxonomy(self):
         from geocode_spark.functions.media import decode_image, decode_wav
@@ -831,7 +910,7 @@ class TestMutationFuzz:
         from geocode_spark.functions.media import (_entropy_segments,
                                                    decode_jpeg, encode_jpeg)
 
-        assert _entropy_segments(b"\x12\xff\xff\xd0\x34\xff\xd9", 0) == \
+        assert _entropy_segments(b"\x12\xff\xff\xd0\x34\xff\xd9", 0)[0] == \
             [b"\x12", b"\x34"]
         rng = np.random.default_rng(21)
         tiles = rng.integers(0, 256, (2, 6), dtype=np.uint8)
