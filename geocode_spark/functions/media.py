@@ -572,32 +572,49 @@ class _BitReader:
         raise MediaFormatError("invalid Huffman code")
 
 
+def _next_marker(data: bytes, pos: int):
+    """Step the marker walk once from ``pos``: skip fill bytes, classify
+    the marker, parse its length field. Returns (marker, body, next_pos)
+    — body is None for standalone markers (RSTn/TEM) and EOI. The ONE
+    marker-walk implementation shared by the header path and the
+    multi-scan decoder."""
+    n = len(data)
+    if data[pos] != 0xFF:
+        raise MediaFormatError(f"expected marker at {pos}")
+    while pos < n and data[pos] == 0xFF:
+        pos += 1  # fill bytes
+    if pos >= n:
+        return None, None, n
+    marker = data[pos]
+    pos += 1
+    if marker == 0xD9 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+        return marker, None, pos
+    if pos + 2 > n:
+        raise MediaFormatError("truncated marker segment")
+    (ln,) = struct.unpack_from(">H", data, pos)
+    if ln < 2 or pos + ln > n:
+        raise MediaFormatError("truncated marker segment")
+    return marker, data[pos + 2:pos + ln], pos + ln
+
+
 def _jpeg_segments(data: bytes):
-    """Yield (marker, payload) for each marker segment after SOI; stops at
-    SOS (yielding it) or EOI. Entropy data handling is the caller's."""
+    """Yield (marker, payload, end_pos) for each marker segment after
+    SOI; stops at SOS (yielding it) or EOI. Entropy data handling is the
+    caller's."""
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise MediaFormatError("not a JPEG (no SOI)")
     pos = 2
     while pos + 1 < len(data):
-        if data[pos] != 0xFF:
-            raise MediaFormatError(f"expected marker at {pos}")
-        while pos < len(data) and data[pos] == 0xFF:
-            pos += 1  # fill bytes
-        if pos >= len(data):
+        marker, body, pos = _next_marker(data, pos)
+        if marker is None:
             break
-        marker = data[pos]
-        pos += 1
         if marker == 0xD9:  # EOI
             return
-        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+        if body is None:  # standalone RSTn/TEM
             continue
-        (ln,) = struct.unpack_from(">H", data, pos)
-        if ln < 2 or pos + ln > len(data):
-            raise MediaFormatError("truncated marker segment")
-        yield marker, data[pos + 2:pos + ln], pos + ln
+        yield marker, body, pos
         if marker == 0xDA:  # SOS: entropy data follows
             return
-        pos += ln
     raise MediaFormatError("missing SOS/EOI")
 
 
@@ -605,7 +622,8 @@ def _jpeg_segments(data: bytes):
 def jpeg_header(data: bytes) -> tuple[int, int, int]:
     """(width, height, n_components) from the first SOFn — header walk
     only, no entropy decode (the cheap metadata path). Accepts any SOFn
-    for metadata; decode_jpeg itself supports baseline SOF0 only."""
+    for metadata; decode_jpeg itself decodes SOF0 baseline and SOF2
+    progressive frames."""
     data = bytes(data)
     for marker, body, _ in _jpeg_segments(data):
         if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -667,25 +685,11 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
     scans_done = 0
     pos, n = 2, len(data)
     while pos < n:
-        if data[pos] != 0xFF:
-            raise MediaFormatError(f"expected marker at {pos}")
-        while pos < n and data[pos] == 0xFF:
-            pos += 1  # fill bytes
-        if pos >= n:
+        marker, body, pos = _next_marker(data, pos)
+        if marker is None or marker == 0xD9:  # end of data / EOI
             break
-        marker = data[pos]
-        pos += 1
-        if marker == 0xD9:  # EOI
-            break
-        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # standalone
+        if body is None:  # standalone RSTn/TEM
             continue
-        if pos + 2 > n:
-            raise MediaFormatError("truncated marker segment")
-        (ln,) = struct.unpack_from(">H", data, pos)
-        if ln < 2 or pos + ln > n:
-            raise MediaFormatError("truncated marker segment")
-        body = data[pos + 2:pos + ln]
-        pos += ln
         if marker in _SOF_UNSUPPORTED:
             raise MediaFormatError(
                 f"only sequential/progressive DCT supported "
@@ -748,9 +752,11 @@ def decode_jpeg(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
             mcus_y = -(-h // (8 * vmax))
             for c in comps:
                 # full interleaved block grid (incl. MCU padding); the
-                # real-data sub-grid is bw x bh (non-interleaved scans)
+                # real-data sub-grid is bw x bh (non-interleaved scans).
+                # int32: |coef| < 2^11 << Al(<=13) < 2^24; dequant below
+                # promotes via the int64 quant table, so no overflow
                 c["coef"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
-                                     np.int64)
+                                     np.int32)
                 cw = -(-w * c["h"] // hmax)
                 ch = -(-h * c["v"] // vmax)
                 c["bw"] = -(-cw // 8)
