@@ -874,13 +874,16 @@ def q_media_resize(spark, sf_dir):
 
 
 def q_media_frames(spark, sf_dir):
-    """Real audio frame sampling: WAV payloads sliced into block-aligned
-    PCM segments; per-frame byte counts + sha256 vs goldens cut from the
-    source sample arrays."""
+    """Real frame sampling across modalities: WAV payloads sliced into
+    block-aligned PCM segments, MJPEG AVI videos into evenly sampled
+    frame chunks (each a standalone decodable JPEG), MP3 streams into
+    self-delimiting MPEG frames; per-frame byte counts + sha256 vs
+    goldens hashed from the exact generation-time frame bytes."""
     from geocode_spark.operators.multimodal import frame_sample
 
     media = spark.read.parquet(f"{FIX}/media.parquet") \
-        .filter(F.col("kind").isin("wav_mono", "wav_stereo"))
+        .filter(F.col("kind").isin("wav_mono", "wav_stereo",
+                                   "avi", "mp3"))
     out = frame_sample(media, binary_col="payload", n_frames=4)
     return out.select("media_id", "frame_idx",
                       F.length("frame_bytes").alias("frame_n_bytes"),

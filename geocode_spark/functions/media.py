@@ -32,6 +32,16 @@ are implemented directly:
          with EOB runs), DRI/RSTn restarts, byte-unstuffing, vectorized
          8x8 IDCT, box-replication upsampling, JFIF YCbCr->RGB.
          Arithmetic/hierarchical/12-bit frames are rejected explicitly.
+* AVI  — RIFF/AVI container walk (LIST hdrl main+stream headers, LIST
+         movi frame chunks incl. 'rec ' groups): the video modality.
+         With the MJPG handler each frame chunk is a standalone
+         baseline JPEG, so frame sampling + the JPEG decoder give real
+         video frame decode; meta is header-only (movi never scanned).
+* MP3  — ISO 11172-3/13818-3 Layer III frame-header walk (ID3v2 skip,
+         MPEG-1/2/2.5 bitrate+samplerate tables, padding slots):
+         sample-accurate duration and channel/bitrate metadata without
+         subband synthesis. Full PCM decode is out of scope; features
+         fall back to the byte histogram.
 
 Encoders (BMP 24-bit, PNG filter-0, WAV PCM16, baseline JFIF from YCbCr
 planes) exist so the resize operator can emit real image bytes and so
@@ -1404,11 +1414,214 @@ def decode_gif(data: bytes, max_pixels: int = MAX_PIXELS) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# AVI (RIFF container, MJPEG video)
+# --------------------------------------------------------------------------
+# The video modality: an AVI is a RIFF tree ('LIST hdrl' with the main
+# header + one stream-list per stream, 'LIST movi' with the frame
+# chunks). With the MJPG handler every video frame chunk is a complete
+# baseline JFIF image, so the JPEG decoder above turns container parsing
+# into real frame decode — no new entropy coder needed. Public layout:
+# Microsoft "AVI RIFF File Reference" (msdn) / OpenDML AVI spec.
+
+
+def _riff_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len) across one RIFF chunk run.
+    Bodies are word-aligned; a length that overruns ``end`` is clamped
+    (truncated files still surface whatever frames they carry)."""
+    while pos + 8 <= end:
+        cid = data[pos:pos + 4]
+        (ln,) = struct.unpack_from("<I", data, pos + 4)
+        body = pos + 8
+        yield cid, body, min(ln, end - body)
+        pos = body + ln + (ln & 1)
+
+
+@_format_errors
+def parse_avi(data: bytes) -> dict:
+    """AVI header walk -> {width, height, n_frames, us_per_frame,
+    duration_ms, handler}. Header-only (LIST hdrl); the movi payload is
+    never touched, so meta stays O(header) however large the video."""
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise MediaFormatError("not a RIFF/AVI file")
+    avih = None
+    handler = None
+    for cid, body, ln in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST" or data[body:body + 4] != b"hdrl":
+            continue
+        for c2, b2, l2 in _riff_chunks(data, body + 4, body + ln):
+            if c2 == b"avih" and l2 >= 40:
+                avih = struct.unpack_from("<10I", data, b2)
+            elif (c2 == b"LIST" and data[b2:b2 + 4] == b"strl"
+                    and handler is None):
+                for c3, b3, l3 in _riff_chunks(data, b2 + 4, b2 + l2):
+                    if (c3 == b"strh" and l3 >= 8
+                            and data[b3:b3 + 4] == b"vids"):
+                        handler = data[b3 + 4:b3 + 8].decode(
+                            "ascii", "replace").strip("\x00 ")
+        break
+    if avih is None:
+        raise MediaFormatError("missing avih main header")
+    us_per_frame, _, _, _, total, _, _, _, w, h = avih
+    if w <= 0 or h <= 0:
+        raise MediaFormatError(f"bad AVI dimensions {w}x{h}")
+    return {
+        "width": w, "height": h, "n_frames": total,
+        "us_per_frame": us_per_frame, "handler": handler,
+        "duration_ms": total * us_per_frame // 1000,
+    }
+
+
+def _sample_indices(total: int, n: int) -> list[int]:
+    """<=n evenly spaced indices over range(total) — the shared video/
+    audio-frame resampling rule (transcribed by the fixture goldens)."""
+    if total <= n:
+        return list(range(total))
+    return [j * total // n for j in range(n)]
+
+
+@_format_errors
+def avi_frames(data: bytes, n: int) -> list[bytes]:
+    """<=n evenly sampled video frame chunks ('##dc'/'##db', 'rec '
+    sub-lists included) from the movi list. With the MJPG handler each
+    returned frame is a standalone baseline JPEG, decodable by
+    ``decode_jpeg``. Byte-exact chunk bodies — no re-encode."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    data = bytes(data)
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise MediaFormatError("not a RIFF/AVI file")
+
+    def is_frame(cid: bytes) -> bool:
+        return (cid[:2].isdigit()
+                and cid[2:4] in (b"dc", b"db"))
+
+    spans = []
+    for cid, body, ln in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST" or data[body:body + 4] != b"movi":
+            continue
+        for c2, b2, l2 in _riff_chunks(data, body + 4, body + ln):
+            if is_frame(c2):
+                spans.append((b2, l2))
+            elif c2 == b"LIST" and data[b2:b2 + 4] == b"rec ":
+                spans.extend((b3, l3) for c3, b3, l3 in
+                             _riff_chunks(data, b2 + 4, b2 + l2)
+                             if is_frame(c3))
+        break
+    if not spans:
+        raise MediaFormatError("AVI contains no video frame chunks")
+    return [data[a:a + ln] for a, ln in
+            (spans[i] for i in _sample_indices(len(spans), n))]
+
+
+# --------------------------------------------------------------------------
+# MP3 (MPEG-1/2/2.5 audio, Layer III frame walk)
+# --------------------------------------------------------------------------
+# Metadata layer only: the frame HEADERS fully determine sample-accurate
+# duration (each Layer III frame carries a fixed sample count at a
+# header-declared rate), so duration/bitrate/channel metadata needs no
+# subband synthesis. Full PCM decode (Huffman + IMDCT + polyphase
+# filterbank) is out of scope — features fall back to the byte
+# histogram, which the operator layer documents. Public layout: ISO/IEC
+# 11172-3 / 13818-3 frame header.
+
+# sample rates by (version_bits) -> [sr_idx 0..2]; version bits: 0=MPEG2.5,
+# 2=MPEG2, 3=MPEG1 (1 is reserved)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+# Layer III bitrates (kbps), index 1..14; 0 is "free" (unsupported), 15 bad
+_MP3_KBPS_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                160, 192, 224, 256, 320)
+_MP3_KBPS_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                96, 112, 128, 144, 160)
+
+
+def _mp3_frame_header(data: bytes, pos: int):
+    """Validate 4 header bytes at pos -> (frame_len, n_samples,
+    sample_rate, channels, kbps) or None if not a Layer III sync."""
+    if pos + 4 > len(data):
+        return None
+    b1, b2, b3 = data[pos], data[pos + 1], data[pos + 2]
+    if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+        return None
+    version = (b2 >> 3) & 3
+    layer = (b2 >> 1) & 3
+    if version == 1 or layer != 1:      # reserved version / not Layer III
+        return None
+    br_idx = (b3 >> 4) & 15
+    sr_idx = (b3 >> 2) & 3
+    if br_idx in (0, 15) or sr_idx == 3:  # free-format / invalid
+        return None
+    sr = _MP3_RATES[version][sr_idx]
+    kbps = (_MP3_KBPS_V1 if version == 3 else _MP3_KBPS_V2)[br_idx]
+    n_samples = 1152 if version == 3 else 576
+    # frame bytes = samples/8 * bitrate / rate + padding (T slot = 1 byte)
+    frame_len = n_samples // 8 * kbps * 1000 // sr + ((b3 >> 1) & 1)
+    channels = 1 if ((data[pos + 3] >> 6) & 3) == 3 else 2
+    return frame_len, n_samples, sr, channels, kbps
+
+
+@_format_errors
+def parse_mp3(data: bytes) -> dict:
+    """MPEG Layer III frame-header walk -> {n_frames, sample_rate,
+    channels, kbps (first frame), duration_ms}. Skips a leading ID3v2
+    tag and a trailing ID3v1 'TAG' block; the walk ends cleanly at the
+    first non-frame byte (truncated tails are the web norm), but zero
+    decodable frames is an error. Header arithmetic only — sample data
+    is never touched."""
+    data = bytes(data)
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        sz = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+              | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+        pos = 10 + sz + (10 if data[5] & 0x10 else 0)  # + optional footer
+    frames = []
+    samples_by_rate: dict[int, int] = {}
+    first = None
+    while True:
+        hdr = _mp3_frame_header(data, pos)
+        if hdr is None:
+            break
+        frame_len, n_samples, sr, channels, kbps = hdr
+        if pos + frame_len > len(data):
+            break                        # truncated final frame: drop it
+        frames.append((pos, frame_len))
+        samples_by_rate[sr] = samples_by_rate.get(sr, 0) + n_samples
+        if first is None:
+            first = (sr, channels, kbps)
+        pos += frame_len
+    if not frames:
+        raise MediaFormatError("no MPEG Layer III frames found")
+    sr, channels, kbps = first
+    return {
+        "n_frames": len(frames), "sample_rate": sr, "channels": channels,
+        "kbps": kbps, "frame_spans": frames,
+        "duration_ms": sum(s * 1000 // r
+                           for r, s in samples_by_rate.items()),
+    }
+
+
+@_format_errors
+def mp3_frames(data: bytes, n: int) -> list[bytes]:
+    """<=n evenly sampled raw MPEG frames (header + payload, each a
+    self-delimiting unit) — same resampling rule as ``avi_frames``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    spans = parse_mp3(data)["frame_spans"]
+    data = bytes(data)
+    return [data[a:a + ln] for a, ln in
+            (spans[i] for i in _sample_indices(len(spans), n))]
+
+
+# --------------------------------------------------------------------------
 # Sniffing + the operator-facing decode hooks
 # --------------------------------------------------------------------------
 
 def sniff(data: bytes) -> str | None:
-    """'jpeg' | 'bmp' | 'png' | 'gif' | 'wav' | None by magic bytes."""
+    """'jpeg' | 'bmp' | 'png' | 'gif' | 'wav' | 'avi' | 'mp3' | None by
+    magic bytes (MP3 additionally requires a valid Layer III frame
+    header when there is no ID3 tag — a lone 0xFF byte is not a
+    claim)."""
     if data is None:
         return None
     head = bytes(data[:12])
@@ -1422,6 +1635,10 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
         return "wav"
+    if head[:4] == b"RIFF" and head[8:12] == b"AVI ":
+        return "avi"
+    if head[:3] == b"ID3" or _mp3_frame_header(bytes(data[:4]), 0):
+        return "mp3"
     return None
 
 
@@ -1470,6 +1687,14 @@ def decode_media_meta(payload: bytes, strict: bool = False) -> dict:
         if kind == "wav":
             return {**base, "media_type": "audio",
                     "duration_ms": parse_wav(payload)["duration_ms"]}
+        if kind == "avi":
+            info = parse_avi(payload)  # header-only, movi never scanned
+            return {**base, "media_type": "video",
+                    "width": info["width"], "height": info["height"],
+                    "duration_ms": info["duration_ms"]}
+        if kind == "mp3":
+            return {**base, "media_type": "audio",
+                    "duration_ms": parse_mp3(payload)["duration_ms"]}
     except MediaFormatError:
         if strict:
             raise
@@ -1483,14 +1708,25 @@ def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
     * image  — integer-luma histogram over DECODED pixels
                (luma = (299R + 587G + 114B) // 1000; exact integer, so
                goldens computed from source arrays match bit-for-bit)
-    * audio  — int16 amplitude histogram over decoded PCM samples
+    * video  — the same luma histogram over the FIRST sampled frame of
+               an MJPEG AVI (container parse + real JPEG decode)
+    * audio  — int16 amplitude histogram over decoded PCM samples (WAV;
+               MP3 has no PCM decoder — byte fallback, meta stays real)
     * other  — raw byte-value histogram (content sketch of last resort)
     """
     if payload is None or len(payload) == 0:
         return np.zeros(dim)
     kind = sniff(payload)
     try:
-        if kind in ("png", "bmp", "jpeg", "gif"):
+        if kind == "avi":
+            arr = decode_jpeg(avi_frames(payload, 1)[0]).astype(np.int64)
+            if arr.shape[2] >= 3:
+                luma = (299 * arr[..., 0] + 587 * arr[..., 1]
+                        + 114 * arr[..., 2]) // 1000
+            else:
+                luma = arr[..., 0]
+            hist, _ = np.histogram(luma, bins=dim, range=(0, 256))
+        elif kind in ("png", "bmp", "jpeg", "gif"):
             arr = decode_image(payload).astype(np.int64)
             if arr.shape[2] >= 3:
                 luma = (299 * arr[..., 0] + 587 * arr[..., 1]

@@ -4,16 +4,18 @@ typed metadata.
 The decode layer is REAL: from-scratch stdlib codecs (functions/media.py
 — BMP, PNG incl. palette/tRNS, Adam7 interlacing and 16-bit depth via
 zlib, GIF87a/89a with a full LZW decoder, baseline AND progressive
-JFIF JPEG, RIFF/WAVE PCM) back every default
-hook, so ``with_media_meta`` reports actual pixel dimensions and
-sample-accurate audio durations, ``extract_features`` histograms decoded
-pixels/samples, ``resize_media`` emits real resampled image bytes and
-``frame_sample`` slices block-aligned PCM segments. Payload formats
-outside the codecs' coverage (MP3, real video containers — no
-codec libs exist in this environment) classify as plain ``binary`` and
-take deterministic byte-level fallbacks; every hook stays pluggable
-(``decode_fn=`` / ``feature_fn=`` / ``resize_fn=`` / ``frame_fn=``) for
-deployments that ship PIL/ffmpeg.
+JFIF JPEG, RIFF/WAVE PCM, RIFF/AVI MJPEG video, MPEG Layer III audio
+frame walk) back every default hook, so ``with_media_meta`` reports
+actual pixel dimensions, video frame-rate durations and sample-accurate
+audio durations, ``extract_features`` histograms decoded pixels/samples
+(video: the first sampled frame's decoded luma), ``resize_media`` emits
+real resampled image bytes and ``frame_sample`` slices block-aligned
+PCM segments, evenly sampled MJPEG frames (each a standalone decodable
+JPEG) or raw MPEG audio frames. MP3 features fall back to the byte
+histogram (frame headers give exact duration but PCM synthesis is out
+of codec scope); every hook stays pluggable (``decode_fn=`` /
+``feature_fn=`` / ``resize_fn=`` / ``frame_fn=``) for deployments that
+ship PIL/ffmpeg.
 
 ``strict=True`` makes corrupt payloads (right magic, bad structure)
 raise ``MediaFormatError`` instead of downgrading to ``binary`` —
@@ -36,8 +38,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, IntegerType,
                                LongType, StringType, StructField, StructType)
 
-from ..functions.media import (MediaFormatError, decode_media_meta,
-                               media_features, resize_image_payload, sniff,
+from ..functions.media import (MediaFormatError, avi_frames,
+                               decode_media_meta, media_features,
+                               mp3_frames, resize_image_payload, sniff,
                                wav_frames)
 
 MEDIA_META_SCHEMA = StructType([
@@ -166,15 +169,18 @@ def resize_media(df: DataFrame, binary_col: str = "html",
 
 
 def _default_frames(payload: bytes, n: int) -> list:
-    """Real frame sampling for WAV audio (<=n contiguous block-aligned
-    PCM segments); deterministic byte-range slicing for payloads with no
-    decodable timeline (a video container would slot in here via
-    ``frame_fn`` once a codec is available)."""
+    """Real frame sampling per modality: WAV audio -> <=n contiguous
+    block-aligned PCM segments; MJPEG AVI video -> <=n evenly sampled
+    frame chunks (each a standalone decodable JPEG); MP3 -> <=n evenly
+    sampled self-delimiting MPEG frames. Payloads with no decodable
+    timeline byte-slice deterministically."""
     if not payload:
         return []
-    if sniff(payload) == "wav":
+    kind = sniff(payload)
+    if kind in ("wav", "avi", "mp3"):
         try:
-            return wav_frames(payload, n)
+            return {"wav": wav_frames, "avi": avi_frames,
+                    "mp3": mp3_frames}[kind](payload, n)
         except MediaFormatError:
             pass
     b = bytes(payload)

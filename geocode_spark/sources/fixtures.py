@@ -414,6 +414,81 @@ def _jpeg_prog_blob(y: np.ndarray) -> bytes:
             + b"\xff\xd9")
 
 
+def _avi_blob(w: int, h: int, us_per_frame: int,
+              jpeg_frames: list[bytes]) -> bytes:
+    """Hand-serialize a single-video-stream MJPEG AVI (generation-side
+    struct packing, independent of the engine's RIFF walk): RIFF('AVI ')
+    -> LIST hdrl (avih + LIST strl (strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) -> LIST movi ('00dc' word-aligned frame chunks)
+    -> idx1."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    total = len(jpeg_frames)
+    buf_sz = max(len(f) for f in jpeg_frames)
+    avih = struct.pack("<10I", us_per_frame, 0, 0, 0x10, total, 0, 1,
+                       buf_sz, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0,
+                                            us_per_frame, 1_000_000, 0,
+                                            total, buf_sz, 0xFFFFFFFF, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    idx, off = [], 4
+    for f in jpeg_frames:
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    body = hdrl + lst(b"movi", movi_body) + chunk(b"idx1", b"".join(idx))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+def _mp3_blob(rng, n_frames: int, sr_idx: int, br_idx: int,
+              stereo: bool, id3v2: bool, id3v1: bool
+              ) -> tuple[bytes, list[bytes], int]:
+    """Hand-serialize an MPEG-1 Layer III stream (generation-side spec
+    transcription: ISO 11172-3 header fields + frame-length formula):
+    optional ID3v2 tag, n CBR frames with deterministic payload bytes
+    (alternating padding slots), optional trailing ID3v1 block. Returns
+    (payload, frame_bytes_list, sample_rate) — the goldens hash the
+    exact frames the walk must recover."""
+    sr = (44100, 48000, 32000)[sr_idx]
+    kbps = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+            160, 192, 224, 256, 320)[br_idx]
+    frames = []
+    for j in range(n_frames):
+        pad = j & 1
+        # 0xFF 0xFB: sync + MPEG1 (11) + Layer III (01) + no-CRC (1)
+        b2 = 0xFB
+        b3 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+        b4 = (0x00 if stereo else 0xC0) | 0x04  # mode + original bit
+        ln = 144 * kbps * 1000 // sr + pad
+        frames.append(bytes([0xFF, b2, b3, b4]) + rng.bytes(ln - 4))
+    head = b""
+    if id3v2:
+        tag = b"TXXX" + rng.bytes(int(rng.integers(20, 120)))
+        sz = len(tag)
+        head = (b"ID3\x04\x00\x00"
+                + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                         (sz >> 7) & 0x7F, sz & 0x7F]) + tag)
+    tail = b"TAG" + rng.bytes(125) if id3v1 else b""
+    return head + b"".join(frames) + tail, frames, sr
+
+
+def _sample_idx(total: int, n: int) -> list[int]:
+    """Transcription of the engine's even-frame-resampling rule
+    (functions/media._sample_indices) for golden generation."""
+    if total <= n:
+        return list(range(total))
+    return [j * total // n for j in range(n)]
+
+
 def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                 resize_wh: tuple[int, int] = (8, 6), n_frames: int = 4):
     """Deterministic multimodal corpus + GENERATION-TIME goldens.
@@ -430,7 +505,10 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     interlaced / transparent variants), baseline
     JPEG (grayscale and 4:2:0 YCbCr), progressive JPEG (SOF2 flat
     tiles), mono/stereo WAV at several sample
-    rates, and plain binary blobs; one trailing row has a NULL payload
+    rates, MJPEG AVI video (flat-tile grayscale JPEG frames in a
+    hand-serialized RIFF container), MPEG-1 Layer III audio (CBR frame
+    runs with rotating ID3v2/ID3v1 tag variants, hand-serialized), and
+    plain binary blobs; one trailing row has a NULL payload
     (null-handling coverage). The palette/interlaced PNG, GIF and
     progressive-JPEG payloads are serialized by ``_png_blob`` /
     ``_gif_blob`` / ``_jpeg_prog_blob`` (generation-side
@@ -453,7 +531,7 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
     kinds = ["bmp", "png_gray", "png_rgb", "png_ga", "png_rgba",
              "png_pal", "png_adam7", "png16", "gif",
              "jpeg_gray", "jpeg_420", "jpeg_prog",
-             "wav_mono", "wav_stereo", "bin"]
+             "wav_mono", "wav_stereo", "avi", "mp3", "bin"]
     rw, rh = resize_wh
 
     def flat_tiles(h, w, tile):
@@ -609,6 +687,49 @@ def build_media(n: int = 144, seed: int = 42, feat_dim: int = 16,
                     "media_id": i, "frame_idx": fi,
                     "frame_n_bytes": len(fb),
                     "frame_sha": hashlib.sha256(fb).hexdigest()})
+        elif kind == "avi":
+            # MJPEG video: frames from the lossless flat-tile grayscale
+            # JPEG class, so frame DECODE goldens are exact; the frames
+            # golden hashes the exact chunk bytes placed in the container
+            h = int(rng.integers(8, 33))
+            w = int(rng.integers(8, 33))
+            total = int(rng.integers(3, 11))
+            uspf = int(rng.choice([33333, 40000, 100000]))
+            srcs = [flat_tiles(h, w, 8) for _ in range(total)]
+            jpegs = [encode_jpeg(s) for s in srcs]
+            payload = _avi_blob(w, h, uspf, jpegs)
+            meta.update(media_type="video", width=w, height=h,
+                        duration_ms=(total * uspf) // 1000)
+            # features: engine decodes the FIRST sampled frame (index 0)
+            feat_g.append({"media_id": i,
+                           "features": luma_hist(
+                               srcs[0][:, :, None]).tolist()})
+            for fi, si in enumerate(_sample_idx(total, n_frames)):
+                frames_g.append({
+                    "media_id": i, "frame_idx": fi,
+                    "frame_n_bytes": len(jpegs[si]),
+                    "frame_sha": hashlib.sha256(jpegs[si]).hexdigest()})
+        elif kind == "mp3":
+            variant = (i // len(kinds)) % 4
+            payload, mframes, rate = _mp3_blob(
+                rng, n_frames=int(rng.integers(6, 31)),
+                sr_idx=int(rng.integers(0, 3)),
+                br_idx=int(rng.integers(1, 15)),
+                stereo=bool(variant & 1), id3v2=variant >= 2,
+                id3v1=variant == 3)
+            meta.update(media_type="audio",
+                        duration_ms=(len(mframes) * 1152 * 1000) // rate)
+            # features: MP3 has no PCM decode -> engine byte-hist fallback
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            hist, _ = np.histogram(arr, bins=feat_dim, range=(0, 256))
+            feat_g.append({"media_id": i,
+                           "features": (hist / hist.sum()).tolist()})
+            for fi, si in enumerate(_sample_idx(len(mframes), n_frames)):
+                frames_g.append({
+                    "media_id": i, "frame_idx": fi,
+                    "frame_n_bytes": len(mframes[si]),
+                    "frame_sha": hashlib.sha256(
+                        mframes[si]).hexdigest()})
         else:
             payload = rng.bytes(int(rng.integers(16, 400)))
             assert sniff(payload) is None, "blob accidentally sniffs as media"

@@ -472,7 +472,8 @@ class TestMetaAndFeatures:
         assert sniff(encode_bmp(np.zeros((2, 2, 3), np.uint8))) == "bmp"
         assert sniff(encode_png(np.zeros((2, 2), np.uint8))) == "png"
         assert sniff(encode_wav(np.zeros(4, np.int16), 8000)) == "wav"
-        assert sniff(b"RIFF\x00\x00\x00\x00AVI ") is None
+        assert sniff(b"RIFF\x00\x00\x00\x00AVI ") == "avi"
+        assert sniff(b"RIFF\x00\x00\x00\x00ACON") is None  # other RIFF
         assert sniff(b"") is None
 
 
@@ -840,6 +841,203 @@ class TestJpegRoundTrips:
 
 
 # --------------------------------------------------------------------------
+# AVI (RIFF/MJPEG container) — hand-built spec bytes
+# --------------------------------------------------------------------------
+
+def _riff_chunk(cid, body):
+    return cid + struct.pack("<I", len(body)) + body \
+        + (b"\x00" if len(body) & 1 else b"")
+
+
+def _avi(frames, w=16, h=8, uspf=40000, total=None, handler=b"MJPG",
+         rec_group=False, junk=True):
+    """Minimal spec AVI: RIFF(AVI ) LIST hdrl(avih, LIST strl(strh, strf))
+    [JUNK] LIST movi(00dc...). Built inline from the msdn layout — no
+    engine or fixture writer involved."""
+    total = len(frames) if total is None else total
+    avih = struct.pack("<10I", uspf, 0, 0, 0x10, total, 0, 1, 0, w, h) \
+        + b"\x00" * 16
+    strh = (b"vids" + handler
+            + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, uspf, 1_000_000,
+                          0, total, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + _riff_chunk(b"LIST", b"strl"
+                                     + _riff_chunk(b"strh", strh)
+                                     + _riff_chunk(b"strf", strf)))
+    if rec_group:
+        movi_body = _riff_chunk(
+            b"LIST", b"rec " + b"".join(_riff_chunk(b"00dc", f)
+                                        for f in frames))
+    else:
+        movi_body = b"".join(_riff_chunk(b"00dc", f) for f in frames)
+    body = hdrl \
+        + (_riff_chunk(b"JUNK", b"\x00" * 12) if junk else b"") \
+        + _riff_chunk(b"LIST", b"movi" + movi_body)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI " + body
+
+
+class TestAviSpecBytes:
+    FRAMES = [b"\xff\xd8frame-zero\xff\xd9", b"\xff\xd8one!\xff\xd9",
+              b"\xff\xd8frame-2-odd\xff\xd9x"[:17]]  # odd length: padding
+
+    def test_header_walk_meta(self):
+        from geocode_spark.functions.media import parse_avi
+
+        info = parse_avi(_avi(self.FRAMES, w=320, h=240, uspf=33333,
+                              total=90))
+        assert (info["width"], info["height"]) == (320, 240)
+        assert info["n_frames"] == 90
+        assert info["duration_ms"] == 90 * 33333 // 1000
+        assert info["handler"] == "MJPG"
+
+    def test_frames_byte_exact_with_padding_and_junk(self):
+        from geocode_spark.functions.media import avi_frames
+
+        assert avi_frames(_avi(self.FRAMES), 8) == self.FRAMES
+
+    def test_rec_grouped_frames(self):
+        from geocode_spark.functions.media import avi_frames
+
+        assert avi_frames(_avi(self.FRAMES, rec_group=True), 8) \
+            == self.FRAMES
+
+    def test_even_sampling_rule(self):
+        from geocode_spark.functions.media import avi_frames
+
+        frames = [bytes([i]) * 5 for i in range(10)]
+        # 10 frames, n=4 -> floor(j*10/4) = 0, 2, 5, 7
+        assert avi_frames(_avi(frames), 4) == [frames[i]
+                                               for i in (0, 2, 5, 7)]
+
+    def test_real_mjpeg_frames_decode(self):
+        from geocode_spark.functions.media import (avi_frames, decode_jpeg,
+                                                   encode_jpeg)
+
+        rng = np.random.default_rng(5)
+        tiles = [np.repeat(np.repeat(
+            rng.integers(0, 256, (2, 3), dtype=np.uint8), 8, 0), 8, 1)
+            for _ in range(3)]
+        payload = _avi([encode_jpeg(t) for t in tiles], w=24, h=16)
+        out = avi_frames(payload, 3)
+        for t, f in zip(tiles, out):
+            assert np.array_equal(decode_jpeg(f)[:, :, 0], t)
+
+    def test_meta_dispatch_video(self):
+        meta = decode_media_meta(_avi(self.FRAMES, w=12, h=7, uspf=100000))
+        assert meta["media_type"] == "video"
+        assert (meta["width"], meta["height"]) == (12, 7)
+        assert meta["duration_ms"] == 3 * 100000 // 1000
+
+    def test_errors(self):
+        from geocode_spark.functions.media import avi_frames, parse_avi
+
+        with pytest.raises(MediaFormatError, match="not a RIFF/AVI"):
+            parse_avi(b"RIFF\x04\x00\x00\x00WAVE")
+        # movi list but no hdrl -> missing avih
+        no_hdrl = (b"RIFF" + struct.pack("<I", 4 + 12) + b"AVI "
+                   + _riff_chunk(b"LIST", b"movi"))
+        with pytest.raises(MediaFormatError, match="avih"):
+            parse_avi(no_hdrl)
+        with pytest.raises(MediaFormatError, match="dimensions"):
+            parse_avi(_avi(self.FRAMES, w=0, h=8))
+        with pytest.raises(MediaFormatError, match="no video frame"):
+            avi_frames(_avi([]), 4)
+        with pytest.raises(ValueError, match=">= 1"):
+            avi_frames(_avi(self.FRAMES), 0)
+
+    def test_sniff(self):
+        assert sniff(_avi(self.FRAMES)) == "avi"
+
+
+# --------------------------------------------------------------------------
+# MP3 (MPEG Layer III frame-header walk) — hand-built spec bytes
+# --------------------------------------------------------------------------
+
+def _mp3_frame(sr_idx=0, br_idx=9, pad=0, version=3, stereo=False,
+               fill=0xAA):
+    """One Layer III frame from the ISO 11172-3 header fields, built
+    inline: sync/version/layer byte, bitrate+samplerate+padding byte,
+    mode byte, then filler to the spec frame length."""
+    v1 = version == 3
+    sr = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+          0: (11025, 12000, 8000)}[version][sr_idx]
+    kbps = ((0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320) if v1 else
+            (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+             160))[br_idx]
+    ln = (1152 if v1 else 576) // 8 * kbps * 1000 // sr + pad
+    b2 = 0xE0 | (version << 3) | (1 << 1) | 1   # sync|ver|layer III|no-CRC
+    b3 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+    b4 = 0x00 if stereo else 0xC0
+    return bytes([0xFF, b2, b3, b4]) + bytes([fill]) * (ln - 4)
+
+
+class TestMp3SpecBytes:
+    def test_duration_and_meta(self):
+        from geocode_spark.functions.media import parse_mp3
+
+        frames = [_mp3_frame(sr_idx=0, br_idx=9, pad=i & 1, fill=i)
+                  for i in range(20)]
+        info = parse_mp3(b"".join(frames))
+        assert info["n_frames"] == 20
+        assert info["sample_rate"] == 44100
+        assert info["kbps"] == 128
+        assert info["duration_ms"] == 20 * 1152 * 1000 // 44100
+
+    def test_mpeg2_tables(self):
+        from geocode_spark.functions.media import parse_mp3
+
+        info = parse_mp3(_mp3_frame(version=2, sr_idx=1, br_idx=4) * 8)
+        assert info["sample_rate"] == 24000
+        assert info["kbps"] == 32
+        assert info["duration_ms"] == 8 * 576 * 1000 // 24000
+
+    def test_id3v2_skip_and_id3v1_tail(self):
+        from geocode_spark.functions.media import parse_mp3
+
+        tag_body = b"T" * 100
+        id3 = (b"ID3\x04\x00\x00"
+               + bytes([0, 0, 100 >> 7, 100 & 0x7F]) + tag_body)
+        stream = id3 + _mp3_frame() * 5 + b"TAG" + b"\x00" * 125
+        assert parse_mp3(stream)["n_frames"] == 5
+
+    def test_truncated_final_frame_dropped(self):
+        from geocode_spark.functions.media import parse_mp3
+
+        full = _mp3_frame() * 4
+        assert parse_mp3(full + _mp3_frame()[:-10])["n_frames"] == 4
+
+    def test_frames_byte_exact_and_sampled(self):
+        from geocode_spark.functions.media import mp3_frames
+
+        frames = [_mp3_frame(fill=i) for i in range(10)]
+        blob = b"".join(frames)
+        assert mp3_frames(blob, 10) == frames
+        assert mp3_frames(blob, 4) == [frames[i] for i in (0, 2, 5, 7)]
+
+    def test_meta_dispatch_audio(self):
+        meta = decode_media_meta(_mp3_frame() * 3)
+        assert meta["media_type"] == "audio"
+        assert meta["duration_ms"] == 3 * 1152 * 1000 // 44100
+
+    def test_errors_and_sniff(self):
+        from geocode_spark.functions.media import parse_mp3
+
+        with pytest.raises(MediaFormatError, match="no MPEG"):
+            parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00garbage")
+        # free-format (bitrate idx 0) is not a recognizable frame
+        free = bytes([0xFF, 0xFB, 0x00, 0xC0]) + b"\x00" * 100
+        assert sniff(free) is None
+        assert sniff(_mp3_frame()) == "mp3"
+        assert sniff(b"ID3\x04\x00\x00\x00\x00\x00\x00") == "mp3"
+        # a lone 0xFF prefix is not an MP3 claim
+        assert sniff(b"\xff\x00\x00\x00rest") is None
+
+
+# --------------------------------------------------------------------------
 # Generative fuzz: mutations of valid payloads must decode correctly or
 # raise MediaFormatError — never any other exception, hang, or OOM
 # --------------------------------------------------------------------------
@@ -856,13 +1054,16 @@ class TestMutationFuzz:
                        rng.integers(0, 4, 24, dtype=np.uint8), 2)), 2)
         from geocode_spark.sources.fixtures import _jpeg_prog_blob
         tiles = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+        jpeg = encode_jpeg(np.repeat(np.repeat(tiles, 8, 0), 8, 1))
         return [encode_png(img), encode_bmp(img),
-                encode_wav(pcm, 16000), gif,
-                encode_jpeg(np.repeat(np.repeat(tiles, 8, 0), 8, 1)),
-                _jpeg_prog_blob(np.repeat(np.repeat(tiles, 8, 0), 8, 1))]
+                encode_wav(pcm, 16000), gif, jpeg,
+                _jpeg_prog_blob(np.repeat(np.repeat(tiles, 8, 0), 8, 1)),
+                _avi([jpeg, jpeg], w=24, h=16),
+                b"".join(_mp3_frame(fill=i) for i in range(6))]
 
     def test_mutations_never_escape_taxonomy(self):
-        from geocode_spark.functions.media import decode_image, decode_wav
+        from geocode_spark.functions.media import (avi_frames, decode_image,
+                                                   decode_wav, mp3_frames)
 
         rng = np.random.default_rng(7)
         seeds = self._seeds()
@@ -882,6 +1083,8 @@ class TestMutationFuzz:
                 payload = bytes(b)
                 # the strict decode paths: only MediaFormatError may escape
                 for fn in (decode_image, decode_wav,
+                           lambda p: avi_frames(p, 3),
+                           lambda p: mp3_frames(p, 3),
                            lambda p: decode_media_meta(p, strict=True)):
                     try:
                         fn(payload)
