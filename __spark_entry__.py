@@ -890,6 +890,46 @@ def q_media_frames(spark, sf_dir):
                       F.sha2("frame_bytes", 256).alias("frame_sha"))
 
 
+def q_raster_tiling(spark, sf_dir):
+    """Raster<->vector tiling (north-rule surface), three labeled parts
+    in one result:
+
+    * 'cell'  — distributed VECTOR->RASTER (mapInPandas covering-cells
+      over the 64-polygon complex geoms table): (i, j, interior) per
+      covering cell.
+    * 'span'  — RASTER->VECTOR dissolve into maximal scanline runs
+      (pure-Catalyst gaps-and-islands windows): (i, j_lo, j_hi).
+    * 'zonal' — Raptor-style raster/vector combine (cell equi-join +
+      partial agg) of a deterministic value raster (value = cell % 997):
+      (n_cells, val_sum, n_interior).
+
+    Oracle: fixtures/raster_cells_golden.parquet — an INDEPENDENT
+    generation-time rasterizer (pnpoly PIP + Liang-Barsky edge clipping
+    + bit-loop Morton, vs the engine's y-bucketed ray-cast +
+    separating-axis test + mask-cascade Morton) — with the span/zonal
+    algebra recomputed by DuckDB SQL."""
+    from geocode_spark.operators.raster import (rasterize_regions,
+                                                raster_to_spans, zonal_stats)
+
+    geoms = spark.read.parquet(f"{FIX}/prepared/complex/geoms.parquet")
+    raster = rasterize_regions(geoms, res=13)
+    cells = raster.select(
+        F.lit("cell").alias("part"), "region_id",
+        F.col("cell_i").alias("k"), F.col("cell_j").alias("v1"),
+        F.col("interior").cast("long").alias("v2"))
+    spans = raster_to_spans(raster).select(
+        F.lit("span").alias("part"), "region_id",
+        F.col("cell_i").alias("k"), F.col("j_lo").alias("v1"),
+        F.col("j_hi").alias("v2"))
+    values = (raster.select("cell_id").distinct()
+              .withColumn("value", F.col("cell_id") % F.lit(997)))
+    zonal = zonal_stats(raster, values).select(
+        F.lit("zonal").alias("part"), "region_id",
+        F.col("n_cells").alias("k"), F.col("val_sum").alias("v1"),
+        F.col("n_interior").alias("v2"))
+    return cells.unionByName(spans).unionByName(zonal)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: reverse-geocode synthetic points from sf0.001 events into
     the fixture LLSOA regions via the cell-index + ray-cast engine."""
@@ -956,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "anti_semi_joins": q_anti_semi_joins,
         "set_ops": q_set_ops,
+        "raster_tiling": q_raster_tiling,
     }
 
 
@@ -1836,6 +1877,24 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         "SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, "
         "CAST(frame_n_bytes AS INTEGER) AS frame_n_bytes, frame_sha "
         f"FROM read_parquet('{FIX}/media_frames_golden.parquet')")
+
+    sql["raster_tiling"] = f"""
+WITH golden AS (SELECT * FROM read_parquet('{FIX}/raster_cells_golden.parquet')),
+runs AS (
+  SELECT region_id, i, j,
+         j - row_number() OVER (PARTITION BY region_id, i ORDER BY j) AS isl
+  FROM golden)
+SELECT 'cell' AS part, region_id, i AS k, j AS v1,
+       CAST(interior AS BIGINT) AS v2 FROM golden
+UNION ALL
+SELECT 'span', region_id, i, MIN(j), MAX(j)
+FROM runs GROUP BY region_id, i, isl
+UNION ALL
+SELECT 'zonal', region_id, COUNT(*),
+       CAST(SUM(cell_id % 997) AS BIGINT),
+       CAST(SUM(CASE WHEN interior THEN 1 ELSE 0 END) AS BIGINT)
+FROM golden GROUP BY region_id
+"""
 
     # every registered query has an oracle entry (the approximate ops are
     # hash-verified through their exhaustive-probe configurations; media

@@ -461,17 +461,27 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", len(body)) + body)
 
 
-@_format_errors
+def _check_n_frames(n: int) -> None:
+    """Programmer-error guard for the frame samplers. MUST run OUTSIDE
+    any ``@_format_errors`` body: the decorator converts ValueError into
+    MediaFormatError, which the operator layer's downgrade policy then
+    silently swallows as a byte-slice fallback — masking the caller bug
+    the guard exists to surface. frame_sample also validates this on the
+    driver before any job launches."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+
 def wav_frames(data: bytes, n: int) -> list[bytes]:
     """Split the PCM payload into <=n contiguous BLOCK-ALIGNED segments
     (equal sample counts up to rounding) — the audio analogue of video
     frame sampling; raw PCM out, headers stripped."""
-    if n < 1:
-        # was a ZeroDivisionError below — the one error class the
-        # _format_errors taxonomy does NOT convert, so it escaped the
-        # downgrade-vs-strict policy and failed whole Spark tasks.
-        # frame_sample also validates this on the driver before any job.
-        raise ValueError(f"n must be >= 1, got {n}")
+    _check_n_frames(n)
+    return _wav_frames(data, n)
+
+
+@_format_errors
+def _wav_frames(data: bytes, n: int) -> list[bytes]:
     info = parse_wav(data)
     block, off = info["block_align"], info["data_offset"]
     total = info["data_bytes"] // block
@@ -1480,20 +1490,47 @@ def _sample_indices(total: int, n: int) -> list[int]:
     return [j * total // n for j in range(n)]
 
 
-@_format_errors
+def _avi_vids_stream(data: bytes) -> int:
+    """Stream id of the first 'vids' stream. AVI stream ids number the
+    'strl' lists in hdrl order; a headerless/truncated file defaults to
+    0. Chunk fourccs encode the id as TWO DECIMAL digits ('00dc'..'99dc'
+    — the ffmpeg avidec.c convention), so ids are 0..99."""
+    for cid, body, ln in _riff_chunks(data, 12, len(data)):
+        if cid != b"LIST" or data[body:body + 4] != b"hdrl":
+            continue
+        idx = 0
+        for c2, b2, l2 in _riff_chunks(data, body + 4, body + ln):
+            if c2 == b"LIST" and data[b2:b2 + 4] == b"strl":
+                for c3, b3, l3 in _riff_chunks(data, b2 + 4, b2 + l2):
+                    if c3 == b"strh" and l3 >= 4:
+                        if data[b3:b3 + 4] == b"vids":
+                            return idx
+                        break
+                idx += 1
+        break
+    return 0
+
+
 def avi_frames(data: bytes, n: int) -> list[bytes]:
-    """<=n evenly sampled video frame chunks ('##dc'/'##db', 'rec '
-    sub-lists included) from the movi list. With the MJPG handler each
-    returned frame is a standalone baseline JPEG, decodable by
-    ``decode_jpeg``. Byte-exact chunk bodies — no re-encode."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    """<=n evenly sampled VIDEO frame chunks ('##dc'/'##db' of the first
+    'vids' stream only — an interleaved second stream's chunks would
+    corrupt the sampled timeline; 'rec ' sub-lists included) from the
+    movi list. With the MJPG handler each returned frame is a standalone
+    baseline JPEG, decodable by ``decode_jpeg``. Byte-exact chunk bodies
+    — no re-encode."""
+    _check_n_frames(n)
+    return _avi_frames(data, n)
+
+
+@_format_errors
+def _avi_frames(data: bytes, n: int) -> list[bytes]:
     data = bytes(data)
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise MediaFormatError("not a RIFF/AVI file")
+    sid = _avi_vids_stream(data)
 
     def is_frame(cid: bytes) -> bool:
-        return (cid[:2].isdigit()
+        return (cid[:2].isdigit() and int(cid[:2]) == sid
                 and cid[2:4] in (b"dc", b"db"))
 
     spans = []
@@ -1601,12 +1638,15 @@ def parse_mp3(data: bytes) -> dict:
     }
 
 
-@_format_errors
 def mp3_frames(data: bytes, n: int) -> list[bytes]:
     """<=n evenly sampled raw MPEG frames (header + payload, each a
     self-delimiting unit) — same resampling rule as ``avi_frames``."""
-    if n < 1:
-        raise ValueError(f"n must be >= 1, got {n}")
+    _check_n_frames(n)
+    return _mp3_frames(data, n)
+
+
+@_format_errors
+def _mp3_frames(data: bytes, n: int) -> list[bytes]:
     spans = parse_mp3(data)["frame_spans"]
     data = bytes(data)
     return [data[a:a + ln] for a, ln in
@@ -1718,16 +1758,11 @@ def media_features(payload: bytes, dim: int = 16) -> np.ndarray:
         return np.zeros(dim)
     kind = sniff(payload)
     try:
-        if kind == "avi":
-            arr = decode_jpeg(avi_frames(payload, 1)[0]).astype(np.int64)
-            if arr.shape[2] >= 3:
-                luma = (299 * arr[..., 0] + 587 * arr[..., 1]
-                        + 114 * arr[..., 2]) // 1000
-            else:
-                luma = arr[..., 0]
-            hist, _ = np.histogram(luma, bins=dim, range=(0, 256))
-        elif kind in ("png", "bmp", "jpeg", "gif"):
-            arr = decode_image(payload).astype(np.int64)
+        if kind in ("png", "bmp", "jpeg", "gif", "avi"):
+            # video: the FIRST sampled frame's pixels feed the same luma
+            # rule as still images
+            arr = (decode_jpeg(avi_frames(payload, 1)[0]) if kind == "avi"
+                   else decode_image(payload)).astype(np.int64)
             if arr.shape[2] >= 3:
                 luma = (299 * arr[..., 0] + 587 * arr[..., 1]
                         + 114 * arr[..., 2]) // 1000

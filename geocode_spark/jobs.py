@@ -232,6 +232,20 @@ def debug_job(spark, args):
         print(f"debug: {name}: {n} rows in {time.time() - t0:.2f}s")
 
 
+def rasterize_job(spark, args):
+    """Raster<->vector tiling job (north-rule surface): a polygon geoms
+    parquet (region_id, xs, ys, ring_offsets — the save_prepared layout)
+    -> covering-cell raster parquet, or its compact scanline-run vector
+    form with --spans."""
+    from .operators.raster import raster_to_spans, rasterize_regions
+
+    geoms = spark.read.parquet(args.infile)
+    out = rasterize_regions(geoms, res=args.res)
+    if args.spans:
+        out = raster_to_spans(out)
+    _write(out, args.outfile)
+
+
 JOBS = {
     "latlons2llsoa": latlons2llsoa,
     "latlons2gsp": latlons2gsp,
@@ -242,6 +256,7 @@ JOBS = {
     "setup": setup_job,
     "clear-cache": clear_cache_job,
     "debug": debug_job,
+    "rasterize": rasterize_job,
 }
 
 # lifecycle jobs take no input/output files
@@ -270,6 +285,8 @@ def main(argv=None):
     p.add_argument("--id-property", dest="id_property", default="region_id")
     p.add_argument("--attrs", default="")
     p.add_argument("--crs", default="EPSG:4326")
+    p.add_argument("--res", type=int, default=13)
+    p.add_argument("--spans", action="store_true")
     args = p.parse_args(argv)
     if args.job not in _NO_IO_JOBS and not (args.infile and args.outfile):
         p.error(f"job {args.job!r} requires --infile and --outfile")

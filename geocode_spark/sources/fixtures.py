@@ -778,6 +778,101 @@ def complex_region_records(n_regions: int = 64, n_vertices: int = 400,
     return recs
 
 
+def _pip_pnpoly(px: float, py: float, edges) -> bool:
+    """INDEPENDENT even-odd point-in-polygon: the classic pnpoly
+    crossing-abscissa form (x < x1 + (py-y1)(x2-x1)/(y2-y1)), vs the
+    engine's y-bucketed t/dy expression tree (geometry.py). Same rule,
+    different derivation — ties only on measure-zero inputs."""
+    ex1, ey1, ex2, ey2 = edges
+    straddle = (ey1 > py) != (ey2 > py)
+    if not straddle.any():
+        return False
+    x1, y1 = ex1[straddle], ey1[straddle]
+    x2, y2 = ex2[straddle], ey2[straddle]
+    xc = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+    return bool(np.count_nonzero(px < xc) & 1)
+
+
+def _any_edge_hits_rect(edges, rx0, ry0, rx1, ry1) -> bool:
+    """INDEPENDENT segment-vs-rect: Liang-Barsky parametric clipping
+    (non-empty clipped interval = intersection, touches inclusive), vs
+    the engine's separating-axis corner-side test (geometry.py:303).
+    Both are exact for segment-vs-AABB; they differ only on degenerate
+    tangencies."""
+    ex1, ey1, ex2, ey2 = edges
+    dx, dy = ex2 - ex1, ey2 - ey1
+    t0 = np.zeros_like(dx)
+    t1 = np.ones_like(dx)
+    ok = np.ones(dx.shape, dtype=bool)
+    for p, q in ((-dx, ex1 - rx0), (dx, rx1 - ex1),
+                 (-dy, ey1 - ry0), (dy, ry1 - ey1)):
+        para = p == 0.0
+        ok &= ~(para & (q < 0.0))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = np.where(para, 0.0, q / np.where(para, 1.0, p))
+        t0 = np.where(~para & (p < 0.0), np.maximum(t0, t), t0)
+        t1 = np.where(~para & (p > 0.0), np.minimum(t1, t), t1)
+    return bool((ok & (t0 <= t1)).any())
+
+
+def _interleave26(v: int) -> int:
+    """Bit-at-a-time Morton interleave — independent of the engine's
+    parallel-prefix mask cascade (cells.py:_part1by1)."""
+    out = 0
+    for b in range(26):
+        out |= ((v >> b) & 1) << (2 * b)
+    return out
+
+
+def build_raster_golden(recs: list | None = None, res: int = 13
+                        ) -> pd.DataFrame:
+    """GENERATION-TIME truth for the raster_tiling query: rasterize the
+    complex fixture polygons with an INDEPENDENT transcription of the
+    covering rule (kept iff an edge crosses the cell OR its center is
+    inside; interior iff center-in and no edge crosses — the rule
+    cells.covering_cells documents). PIP is pnpoly, edge-vs-rect is
+    Liang-Barsky, the cell id is a bit-loop Morton encode — none of the
+    engine's kernels run here. Columns: region_id, cell_id, i, j,
+    interior."""
+    recs = complex_region_records() if recs is None else recs
+    n = 1 << res
+    lon_step, lat_step = 360.0 / n, 180.0 / n
+    rows = []
+    for rec in recs:
+        e1x, e1y, e2x, e2y = [], [], [], []
+        for ring in rec["rings"]:
+            pts = np.asarray(ring, dtype=np.float64)
+            nxt = np.roll(pts, -1, axis=0)
+            e1x.append(pts[:, 0])
+            e1y.append(pts[:, 1])
+            e2x.append(nxt[:, 0])
+            e2y.append(nxt[:, 1])
+        edges = (np.concatenate(e1x), np.concatenate(e1y),
+                 np.concatenate(e2x), np.concatenate(e2y))
+        allx = np.concatenate([edges[0], edges[2]])
+        ally = np.concatenate([edges[1], edges[3]])
+        i0 = max(int(np.floor((allx.min() + 180.0) / lon_step)), 0)
+        i1 = min(int(np.floor((allx.max() + 180.0) / lon_step)), n - 1)
+        j0 = max(int(np.floor((ally.min() + 90.0) / lat_step)), 0)
+        j1 = min(int(np.floor((ally.max() + 90.0) / lat_step)), n - 1)
+        for i in range(i0, i1 + 1):
+            rx0 = i * lon_step - 180.0
+            rx1 = rx0 + lon_step
+            for j in range(j0, j1 + 1):
+                ry0 = j * lat_step - 90.0
+                ry1 = ry0 + lat_step
+                crossed = _any_edge_hits_rect(edges, rx0, ry0, rx1, ry1)
+                center_in = _pip_pnpoly((rx0 + rx1) * 0.5, (ry0 + ry1) * 0.5,
+                                        edges)
+                if crossed or center_in:
+                    cell = ((res << 58) | _interleave26(i)
+                            | (_interleave26(j) << 1))
+                    rows.append({"region_id": rec["region_id"],
+                                 "cell_id": cell, "i": i, "j": j,
+                                 "interior": bool(center_in and not crossed)})
+    return pd.DataFrame(rows)
+
+
 def build_all(base_dir: str | Path = FIXTURE_DIR,
               prepared_dir: str | Path | None = None) -> None:
     """Write every fixture parquet + prepared region artifacts (the latter
@@ -855,6 +950,11 @@ def build_all(base_dir: str | Path = FIXTURE_DIR,
                           "xmin": min(xs), "ymin": min(ys),
                           "xmax": max(xs), "ymax": max(ys)})
     pd.DataFrame(flat_rows).to_parquet(base / "complex_regions.parquet", index=False)
+    # independent-transcription rasterization truth (res matches the
+    # prepared 'complex' set so the cover map and this golden describe
+    # the same grid)
+    build_raster_golden(complex_recs, res=13) \
+        .to_parquet(base / "raster_cells_golden.parquet", index=False)
 
     prep_dir = Path(prepared_dir) if prepared_dir else base / "prepared"
     # res 13 ~ production tuning: most covering cells interior (hash-probe

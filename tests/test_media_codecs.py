@@ -951,6 +951,64 @@ class TestAviSpecBytes:
     def test_sniff(self):
         assert sniff(_avi(self.FRAMES)) == "avi"
 
+    def test_n_guard_stays_plain_valueerror(self):
+        # the guard must NOT be converted to MediaFormatError by
+        # @_format_errors: the operator layer swallows MediaFormatError
+        # (downgrade policy), which would mask the caller bug as a
+        # silent byte-slice fallback
+        from geocode_spark.functions.media import (avi_frames, mp3_frames,
+                                                   wav_frames)
+        for fn, payload in ((avi_frames, _avi(self.FRAMES)),
+                            (mp3_frames, b"\xff\xfb\x92\x04" + b"\x00" * 300),
+                            (wav_frames, b"RIFF\x00\x00\x00\x00WAVE")):
+            with pytest.raises(ValueError) as ei:
+                fn(payload, 0)
+            assert not isinstance(ei.value, MediaFormatError), fn
+
+    def test_second_stream_chunks_excluded(self):
+        # interleaved audio ('auds' stream 0, '00wb' chunks) + video
+        # ('vids' stream 1, '01dc' chunks): sampling must walk ONLY the
+        # vids stream's timeline
+        from geocode_spark.functions.media import avi_frames
+
+        w, h, uspf, total = 16, 8, 40000, len(self.FRAMES)
+        avih = struct.pack("<10I", uspf, 0, 0, 0x10, total, 0, 2, 0,
+                           w, h) + b"\x00" * 16
+        strh_a = (b"auds" + b"\x00" * 4
+                  + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, 44100, 0,
+                                44100, 0, 0, 0) + struct.pack("<4H", 0, 0, 0, 0))
+        strh_v = (b"vids" + b"MJPG"
+                  + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, uspf, 1_000_000,
+                                0, total, 0, 0, 0)
+                  + struct.pack("<4H", 0, 0, w, h))
+        strf_v = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                             w * h * 3, 0, 0, 0, 0)
+        hdrl = _riff_chunk(
+            b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+            + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh_a)
+                          + _riff_chunk(b"strf", b"\x00" * 16))
+            + _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh_v)
+                          + _riff_chunk(b"strf", strf_v)))
+        movi = b""
+        for f in self.FRAMES:
+            movi += _riff_chunk(b"00wb", b"AUDIO-NOT-A-FRAME")
+            movi += _riff_chunk(b"01dc", f)
+        body = hdrl + _riff_chunk(b"LIST", b"movi" + movi)
+        payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI "
+                   + body)
+        assert avi_frames(payload, 8) == self.FRAMES
+
+    def test_headerless_movi_defaults_to_stream_zero(self):
+        # truncated-capture shape: no hdrl at all, movi intact —
+        # frame extraction still surfaces the stream-0 chunks
+        from geocode_spark.functions.media import avi_frames
+
+        movi = b"".join(_riff_chunk(b"00dc", f) for f in self.FRAMES)
+        body = _riff_chunk(b"LIST", b"movi" + movi)
+        payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI "
+                   + body)
+        assert avi_frames(payload, 8) == self.FRAMES
+
 
 # --------------------------------------------------------------------------
 # MP3 (MPEG Layer III frame-header walk) — hand-built spec bytes
