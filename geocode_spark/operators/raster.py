@@ -86,7 +86,10 @@ def rasterize_regions(regions: DataFrame, res: int,
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            out = []
+            # accumulate numpy per polygon, materialize ONE frame per
+            # Arrow batch: per-polygon DataFrame construction would
+            # dominate when polygons are small and numerous (parcels)
+            rids, counts, cell_arrs, int_arrs = [], [], [], []
             for rid, xs, ys, offs in zip(pdf.iloc[:, 0].values,
                                          pdf.iloc[:, 1].values,
                                          pdf.iloc[:, 2].values,
@@ -96,16 +99,22 @@ def rasterize_regions(regions: DataFrame, res: int,
                     np.asarray(offs, np.int64), res)
                 if len(cells) == 0:
                     continue
-                _, ci, cj = cell_to_ij(cells)
-                out.append(pd.DataFrame({
-                    region_col: rid,
-                    "cell_id": cells.astype(np.int64),
-                    "cell_i": ci.astype(np.int64),
-                    "cell_j": cj.astype(np.int64),
-                    "interior": interior,
-                }))
-            if out:
-                yield pd.concat(out, ignore_index=True)
+                rids.append(rid)
+                counts.append(len(cells))
+                cell_arrs.append(cells)
+                int_arrs.append(interior)
+            if not cell_arrs:
+                continue
+            cells = np.concatenate(cell_arrs)
+            _, ci, cj = cell_to_ij(cells)
+            yield pd.DataFrame({
+                region_col: np.repeat(np.asarray(rids, dtype=object),
+                                      counts),
+                "cell_id": cells.astype(np.int64),
+                "cell_i": ci.astype(np.int64),
+                "cell_j": cj.astype(np.int64),
+                "interior": np.concatenate(int_arrs),
+            })
 
     return src.mapInPandas(run, schema=out_schema)
 

@@ -193,3 +193,38 @@ class TestGoldenIndependence:
         want = {(int(c), bool(i)) for c, i in zip(cells, interior)}
         assert got == want
         assert len(got) < 400  # the hole really removed interior cells
+
+class TestRasterPlans:
+    """Plan-shape guarantees (same spirit as test_plans.py): the
+    raster->vector side must stay pure Catalyst."""
+
+    def test_spans_one_exchange_no_python(self, spark):
+        from tests.test_plans import plan_of
+
+        raster = spark.createDataFrame(pd.DataFrame({
+            "region_id": ["A"] * 8, "cell_id": range(8),
+            "cell_i": [0, 0, 0, 1, 1, 2, 2, 2],
+            "cell_j": [0, 1, 5, 0, 1, 3, 4, 9],
+            "interior": [True] * 8}))
+        plan = plan_of(raster_to_spans(raster))
+        # the window's hash partitioning (region, scanline) also
+        # satisfies the groupBy's clustering, so exactly ONE shuffle
+        # (formatted mode: 'Exchange' once in the tree, once in detail)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, plan
+        assert "hashpartitioning(region_id" in plan, plan
+        assert "Python" not in plan and "InPandas" not in plan, plan
+
+    def test_zonal_partial_aggregation(self, spark):
+        from tests.test_plans import plan_of
+
+        raster = spark.createDataFrame(pd.DataFrame({
+            "region_id": ["A", "B"], "cell_id": [1, 2],
+            "cell_i": [0, 0], "cell_j": [0, 1],
+            "interior": [True, False]}))
+        values = spark.createDataFrame(
+            pd.DataFrame({"cell_id": [1, 2], "value": [3, 4]}))
+        plan = plan_of(zonal_stats(raster, values))
+        # partial (map-side) + final aggregate pair, no Python nodes
+        assert plan.count("HashAggregate") >= 2, plan
+        assert "Python" not in plan and "InPandas" not in plan, plan
