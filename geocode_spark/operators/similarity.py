@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
-from pyspark.sql.types import LongType
+from pyspark.sql.types import (DoubleType, LongType, StructField, StructType)
 
 
 def _dot(a, b):
@@ -30,28 +30,144 @@ def _norm_col(vec_col: str):
         f"aggregate({vec_col}, 0D, (acc, v) -> acc + v * v)"))
 
 
+def _seq_dot(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Row dot products with the SAME floating-point result as Catalyst's
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)``:
+    per-element product then a strict LEFT-TO-RIGHT sum. numpy's ``@`` /
+    ``sum`` use pairwise summation (different rounding); the explicit
+    per-column fold below performs the identical IEEE-754 operation
+    sequence, so cosines are bit-identical to the pre-round-6 JVM plan."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * q[j]
+    return acc
+
+
+def _seq_sqnorm(mat: np.ndarray) -> np.ndarray:
+    """Left-to-right fold of v*v per row (see _seq_dot)."""
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    return acc
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id") -> DataFrame:
-    """Exact cosine top-k: (query_id, vec_id, cosine, rank). Queries are
-    broadcast; the corpus scan is a single narrow pass + one top-k shuffle
-    keyed by query_id (k small => combiner-friendly)."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qv"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .withColumn("__dot", _dot("__cv", "__qv"))
-        .withColumn("__na", _norm_col("__cv"))
-        .withColumn("__nb", _norm_col("__qv"))
-        .withColumn("cosine",
-                    F.when((F.col("__na") > 0) & (F.col("__nb") > 0),
-                           F.col("__dot") / (F.col("__na") * F.col("__nb")))
-                    .otherwise(F.lit(0.0)))
-    )
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank).
+
+    Round-6 plan (guide §4.2 — batch the heavy math in native code): the
+    queries (the broadcast-small side; previously collected to the driver
+    anyway to build the broadcast relation) are collected once and shipped
+    in the task closure; one ``mapInPandas`` pass scores every corpus
+    partition against ALL queries in numpy and emits only each Arrow
+    batch's local top-k per query, so the final exact window ranks
+    ``O(batches x queries x k)`` candidate rows instead of the previous
+    ``|corpus| x |queries|`` crossJoin with per-element Catalyst lambdas
+    (the crossJoin plan also duplicated every embedding array |queries|
+    times through the join). Cosines are BIT-IDENTICAL to the old plan:
+    ``_seq_dot`` reproduces the JVM aggregate's exact operation order, and
+    the null/ragged corner cases reproduce the old expression semantics
+    (null or zero-norm vector -> 0.0; length-mismatched vector -> NULL
+    cosine, ranked after non-nulls exactly as the window always did)."""
+    q_rows = queries.select(F.col(query_id_col), F.col(vec_col)).collect()
+    spark = corpus.sparkSession
+    id_f = corpus.schema[id_col]
+    qid_f = queries.schema[query_id_col]
+    out_schema = StructType([
+        StructField(query_id_col, qid_f.dataType),
+        StructField(id_col, id_f.dataType),
+        StructField("cosine", DoubleType()),
+    ])
+    if not q_rows:
+        cand = spark.createDataFrame([], out_schema)
+    else:
+        qs = []
+        for r in q_rows:
+            vec = r[1]
+            if vec is None:
+                qs.append((r[0], None, 0.0))
+            else:
+                v = np.asarray(vec, dtype=np.float64)
+                sq = 0.0
+                for x in v.tolist():          # left-to-right, like the JVM
+                    sq = sq + x * x
+                qs.append((r[0], v, float(np.sqrt(sq))))
+
+        def score(batches):
+            for pdf in batches:
+                ids = pdf[id_col].to_numpy()
+                vecs = pdf[vec_col]
+                lens = np.fromiter(
+                    ((-1 if v is None else len(v)) for v in vecs),
+                    dtype=np.int64, count=len(vecs))
+                out_q, out_id, out_cos = [], [], []
+                for L in np.unique(lens):
+                    sel = lens == L
+                    gids = ids[sel]
+                    if L < 0:
+                        # NULL vector: old plan scored it 0.0 for every
+                        # query (when-condition null -> otherwise branch)
+                        for qid, _, _ in qs:
+                            take = np.sort(gids)[:k]
+                            out_q += [qid] * len(take)
+                            out_id += take.tolist()
+                            out_cos += [0.0] * len(take)
+                        continue
+                    mat = np.stack(
+                        [np.asarray(v, dtype=np.float64)
+                         for v in vecs[sel]]) if L else \
+                        np.zeros((int(sel.sum()), 0))
+                    na = np.sqrt(_seq_sqnorm(mat))
+                    for qid, qv, nb in qs:
+                        if qv is None or len(qv) != L or nb <= 0:
+                            if qv is not None and len(qv) != L:
+                                # zip_with pads -> null product -> NULL
+                                # cosine (only when both norms > 0; zero
+                                # norms still hit the otherwise-0.0 branch)
+                                cos = np.where((na > 0) & (nb > 0),
+                                               np.nan, 0.0)
+                                nulls = np.isnan(cos)
+                                # nulls rank AFTER all non-nulls: keep the
+                                # k smallest-id null rows as candidates
+                                nz = gids[~nulls]
+                                take = np.sort(nz)[:k]
+                                out_q += [qid] * len(take)
+                                out_id += take.tolist()
+                                out_cos += [0.0] * len(take)
+                                nid = np.sort(gids[nulls])[:k]
+                                out_q += [qid] * len(nid)
+                                out_id += nid.tolist()
+                                out_cos += [None] * len(nid)
+                            else:
+                                take = np.sort(gids)[:k]
+                                out_q += [qid] * len(take)
+                                out_id += take.tolist()
+                                out_cos += [0.0] * len(take)
+                            continue
+                        dot = _seq_dot(mat, qv)
+                        denom = na * nb
+                        with np.errstate(invalid="ignore",
+                                         divide="ignore"):
+                            cos = np.where(na > 0, dot / denom, 0.0)
+                        # Spark sorts NaN as LARGEST in desc order: treat
+                        # NaN as +inf for candidate selection only (the
+                        # emitted value stays NaN, and the final window
+                        # re-ranks with Spark's own NaN ordering)
+                        skey = np.where(np.isnan(cos), np.inf, cos)
+                        take = np.lexsort((gids, -skey))[:k]
+                        out_q += [qid] * len(take)
+                        out_id += gids[take].tolist()
+                        out_cos += cos[take].tolist()
+                yield pd.DataFrame({query_id_col: out_q, id_col: out_id,
+                                    "cosine": out_cos})
+
+        cand = corpus.select(F.col(id_col), F.col(vec_col)) \
+            .mapInPandas(score, out_schema)
     w = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )

@@ -193,15 +193,66 @@ class TestDedupGuards:
         assert {(r.id_a, r.id_b) for r in auto.collect()} == bucketed
 
     def test_dup_clusters_strict_raises_unconverged(self, spark):
+        """Round 6 moved dup_clusters to local-contraction + driver finish,
+        so the strict non-convergence contract now lives in the distributed
+        fallback loop (taken when the contracted residue exceeds the driver
+        cap) — exercise the loop directly with a diameter > max_iters
+        chain, then the public API end to end."""
+        import pyspark.sql.functions as F
+
+        from geocode_spark.operators.dedup import (_propagate_loop,
+                                                   dup_clusters)
+
+        nodes = spark.createDataFrame([(i,) for i in range(6)], "src long")
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(5)], "src long, dst long")
+        with pytest.raises(RuntimeError, match="converge"):
+            _propagate_loop(nodes, chain, max_iters=1, strict=True,
+                            convergence_check_every=1)
+        loop_ok = _propagate_loop(nodes, chain, max_iters=10, strict=True,
+                                  convergence_check_every=1)
+        assert {r.label for r in loop_ok.collect()} == {0}
+
+        pub = dup_clusters(
+            nodes.select(F.col("src").alias("doc_id")),
+            chain.select(F.col("src").alias("id_a"),
+                         F.col("dst").alias("id_b")), max_iters=1)
+        assert {r.cluster_id for r in pub.collect()} == {0}
+
+    def test_dup_clusters_fallback_loop_path(self, spark, monkeypatch):
+        """Force the contracted residue over the driver cap so the
+        distributed fallback path runs, and check it matches the driver
+        finish on a cross-partition graph (single-partition edge layout
+        guarantees a non-empty residue is impossible, so spread edges)."""
+        import pyspark.sql.functions as F
+
         from geocode_spark.operators.dedup import dup_clusters
 
-        nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
-        chain = spark.createDataFrame(
-            [(i, i + 1) for i in range(5)], "id_a long, id_b long")
-        with pytest.raises(RuntimeError, match="converge"):
-            dup_clusters(nodes, chain, max_iters=1)
-        ok = dup_clusters(nodes, chain, max_iters=10)
-        assert {r.cluster_id for r in ok.collect()} == {0}
+        nodes = spark.range(64).select(F.col("id").alias("doc_id"))
+        pairs = (spark.range(63).filter((F.col("id") + 1) % 8 != 0)
+                 .select(F.col("id").alias("id_a"),
+                         (F.col("id") + 1).alias("id_b"))
+                 .repartition(8))
+        base = {(r.doc_id, r.cluster_id)
+                for r in dup_clusters(nodes, pairs).collect()}
+        monkeypatch.setenv("GEOCODE_CC_DRIVER_MAX_EDGES", "0")
+        forced = {(r.doc_id, r.cluster_id)
+                  for r in dup_clusters(nodes, pairs).collect()}
+        assert forced == base
+        assert base == {(i, (i // 8) * 8) for i in range(64)}
+
+    def test_dup_clusters_ignores_edges_outside_nodes(self, spark):
+        """Legacy semantics: a pair endpoint absent from ``nodes`` never
+        relays labels (the old per-round join dropped it implicitly; the
+        round-6 contraction must not connect THROUGH it)."""
+        nodes = spark.createDataFrame([(1,), (3,)], "doc_id long")
+        # 1-2 and 2-3 would merge 1,3 through 2 — but 2 is not a node
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3)], "id_a long, id_b long")
+        from geocode_spark.operators.dedup import dup_clusters
+        got = {r.doc_id: r.cluster_id
+               for r in dup_clusters(nodes, pairs).collect()}
+        assert got == {1: 1, 3: 3}
 
 
 class TestResizeMedia:
