@@ -112,6 +112,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
+        # Round-6 note: a chunk-batched minimum.reduceat variant (one big
+        # multiply + segmented min across docs) was implemented,
+        # bit-verified and REJECTED on measurement: 1.05 s vs 0.70 s for
+        # this per-doc loop at bench scale (short docs make the per-doc
+        # outer product small enough that batching overhead dominates).
         out = []
         for t in texts:
             sh = _shingle_hashes(t or "", shingle_k)

@@ -159,8 +159,9 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                         out_q += [qid] * len(take)
                         out_id += gids[take].tolist()
                         out_cos += cos[take].tolist()
-                yield pd.DataFrame({query_id_col: out_q, id_col: out_id,
-                                    "cosine": out_cos})
+                if out_q:
+                    yield pd.DataFrame({query_id_col: out_q, id_col: out_id,
+                                        "cosine": out_cos})
 
         cand = corpus.select(F.col(id_col), F.col(vec_col)) \
             .mapInPandas(score, out_schema)

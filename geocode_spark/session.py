@@ -34,7 +34,12 @@ def get_spark(app_name: str = "geocode-spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # broadcast threshold generous: all region/centroid dims are broadcast-scale
         .config("spark.sql.autoBroadcastJoinThreshold", str(256 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[NN] runs the whole engine (executor + caches + shuffles) in
+        # the driver JVM: 16g keeps bench-scale caches (e.g. the replicated
+        # lineitem block) comfortably in storage memory at larger scale
+        # factors instead of spilling. Env-overridable; on a real cluster
+        # the deployment sets driver/executor memory explicitly.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
