@@ -98,6 +98,26 @@ class TestFusedMinhashEquivalence:
         keys = [(r.id_a, r.id_b) for r in pre]
         assert len(keys) == len(set(keys))
 
+    def test_carry_across_tiny_arrow_batches(self, spark):
+        """The bucket walk's carry logic (a bucket spanning Arrow batch
+        boundaries) never fires under the default 65536-row batches —
+        every test partition fits one batch. Force 3-row batches so most
+        buckets straddle batches and re-check against the reference."""
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = spark.conf.get(key)
+        df = self._corpus(spark)
+        try:
+            spark.conf.set(key, "3")
+            got = {(r.id_a, r.id_b, r.jaccard_est)
+                   for r in minhash_dedup_pairs(
+                       df, text_col="text", id_col="doc_id", threshold=0.5,
+                       num_hashes=32, shingle_k=4, bands=8, rows_per_band=4,
+                       max_bucket_size=6).collect()}
+        finally:
+            spark.conf.set(key, prev)
+        want = _reference_minhash_pairs(spark, df, 0.5, 32, 4, 8, 4, 6)
+        assert got == want and len(got) > 0
+
 
 class TestBruteForceTopkBitParity:
     def _old_plan(self, corpus, queries, k):
