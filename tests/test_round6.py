@@ -144,6 +144,21 @@ class TestBruteForceTopkBitParity:
                 .select("query_id", "vec_id", "cosine", "rank"))
 
     def test_bit_identical_on_adversarial_vectors(self, spark):
+        self._run_parity(spark)
+
+    def test_bit_identical_under_tiny_arrow_batches(self, spark):
+        """Per-batch candidate pruning must be batching-invariant: the
+        global top-k is inside the union of per-batch top-k for ANY batch
+        split. Force 3-row batches so every group is fragmented."""
+        key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        prev = spark.conf.get(key)
+        try:
+            spark.conf.set(key, "3")
+            self._run_parity(spark)
+        finally:
+            spark.conf.set(key, prev)
+
+    def _run_parity(self, spark):
         from geocode_spark.operators.similarity import brute_force_topk
 
         rng = np.random.default_rng(11)
